@@ -1,0 +1,22 @@
+"""Test configuration: force CPU backend with 8 virtual devices.
+
+Tests never require TPU hardware; multi-device sharding tests run on a
+virtual 8-device CPU mesh (xla_force_host_platform_device_count), per the
+test strategy in SURVEY.md §4.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402  (import after env vars are set)
+
+jax.config.update("jax_enable_x64", False)
+# Persistent compile cache: keeps repeat test runs fast.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
