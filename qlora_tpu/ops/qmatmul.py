@@ -1,0 +1,314 @@
+"""Fused NF4/FP4 dequantize + matmul — the hot kernel of the framework.
+
+TPU-native equivalent of bitsandbytes' ``MatMul4Bit`` autograd function
+(reference call-path: every LoRA-wrapped Linear4bit forward/backward in
+/root/reference/qlora.py's training loop, SURVEY.md §3.3):
+
+* forward:  ``y = x @ dequant(Wq)`` with the packed 4-bit weight staying
+  packed in HBM; nibbles are decoded to bf16 inside VMEM tiles feeding the
+  MXU.
+* backward: ``dx = g @ dequant(Wq)ᵀ`` — the weight is re-dequantized (never
+  stored), and the packed weight gets **no cotangent** (frozen base model).
+
+Storage format (see qlora_tpu.quant.blockwise): global split-half packing —
+packed byte ``(r, n)`` holds logical rows ``r`` (low nibble) and ``K/2 + r``
+(high nibble).  The forward kernel reads each packed byte exactly once and
+contracts both nibble-planes against two x tiles; all in-kernel tensors stay
+2-D (Mosaic-friendly).
+
+Two implementations share the storage format:
+
+* ``impl="pallas"`` — tiled Pallas kernel, fp32 VMEM accumulator; runs in
+  interpret mode on CPU for tests.
+* ``impl="xla"``   — ``dequantize`` + ``jnp.dot``; the oracle and CPU path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from qlora_tpu.quant.blockwise import QuantizedTensor, absmax_f32, dequantize
+from qlora_tpu.quant.codebooks import CODEBOOKS
+
+Impl = Literal["auto", "pallas", "xla"]
+
+
+def _pick_tile(dim: int, candidates) -> int:
+    for c in candidates:
+        if dim % c == 0:
+            return c
+    return dim
+
+
+def _decode_chain(idx_i32: jax.Array, code: np.ndarray) -> jax.Array:
+    """int32 code indices (0..15) → f32 codebook values, 2-D in, 2-D out.
+
+    15-step compare/add chain over the sorted codebook:
+        v = c0 + Σ_{i=1..15} (idx >= i) · (c_i − c_{i−1})
+    Pure VPU ops; no gather.  `code` is a compile-time constant.
+    """
+    v = jnp.full(idx_i32.shape, float(code[0]), dtype=jnp.float32)
+    for i in range(1, 16):
+        delta = float(code[i] - code[i - 1])
+        if delta != 0.0:
+            v += jnp.where(idx_i32 >= i, delta, 0.0)
+    return v
+
+
+def _scale_rows(v: jax.Array, am: jax.Array, block_size: int) -> jax.Array:
+    """Multiply f32 values [R, C] by per-block scales am [R//B, C] along rows."""
+    r, c = v.shape
+    v3 = v.reshape(r // block_size, block_size, c)
+    return (v3 * am[:, None, :]).reshape(r, c)
+
+
+def _qmm_fwd_kernel(
+    xl_ref, xh_ref, p_ref, am_ref, o_ref, acc_ref,
+    *, code, block_size, nb, am_half_rows, out_dtype,
+):
+    """One (i, j, k) grid step of y[M,N] = x[M,K] @ dequant(W)[K,N].
+
+    k tiles the packed rows (= K/2 logical rows per nibble plane); both
+    nibble planes of the tile are decoded and contracted against the
+    matching low/high x tiles, so each packed byte is read once.  The
+    absmax ref carries all K//B rows for the current N-tile (small; reused
+    across k) and is sliced per-step — its row count is rarely 8-aligned,
+    so it can't be gridded directly.
+    """
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # bit-ops in int32: Mosaic can't legalize 8-bit logical shift (shrui)
+    p32 = p_ref[:].astype(jnp.int32)
+    low = p32 & 0x0F
+    high = p32 >> 4
+    aml = am_ref[pl.ds(k * nb, nb), :]
+    amh = am_ref[pl.ds(am_half_rows + k * nb, nb), :]
+    wl = _scale_rows(_decode_chain(low, code), aml, block_size)
+    wh = _scale_rows(_decode_chain(high, code), amh, block_size)
+    acc_ref[:] += jnp.dot(
+        xl_ref[:], wl.astype(jnp.bfloat16), preferred_element_type=jnp.float32
+    )
+    acc_ref[:] += jnp.dot(
+        xh_ref[:], wh.astype(jnp.bfloat16), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+def _qmm_bwd_kernel(
+    g_ref, p_ref, am_ref, o_ref, acc_ref,
+    *, code, block_size, nb, nj_half, out_dtype,
+):
+    """One (i, j, k) grid step of dx[M,K] = g[M,N] @ dequant(W)[K,N]ᵀ.
+
+    Grid: i over M tiles, j over logical-K output tiles, k over N tiles
+    (contraction).  Output tile j lies entirely in the low (j < nj_half) or
+    high nibble plane of the packed tile, selected per-step.
+    """
+    k = pl.program_id(2)
+    j = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    p32 = p_ref[:].astype(jnp.int32)  # int32 domain: 8-bit shrui won't legalize
+    nib = jnp.where(j < nj_half, p32 & 0x0F, p32 >> 4)
+    am = am_ref[pl.ds(j * nb, nb), :]
+    w = _scale_rows(_decode_chain(nib, code), am, block_size)  # [TK, TN]
+    acc_ref[:] += jax.lax.dot_general(
+        g_ref[:],
+        w.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _pad_rows(x: jax.Array, mult: int) -> jax.Array:
+    pad = (-x.shape[0]) % mult
+    return jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+
+
+@functools.partial(
+    jax.jit, static_argnames=("shape", "block_size", "quant_type", "out_dtype")
+)
+def _qmm_pallas(x, packed, am, shape, block_size, quant_type, out_dtype=jnp.bfloat16):
+    """y = x @ dequant(packed, am); x [M, K] → [M, N]."""
+    K, N = shape
+    K2 = K // 2
+    M = x.shape[0]
+    code = CODEBOOKS[quant_type]
+
+    TKp = _pick_tile(K2, (512, 256, 128))               # packed-row tile
+    TN = _pick_tile(N, (256, 128))
+    xp = _pad_rows(x.astype(jnp.bfloat16), 16)
+    Mp = xp.shape[0]
+    TM = _pick_tile(Mp, (256, 128, 64, 32, 16))
+
+    grid = (Mp // TM, N // TN, K2 // TKp)
+    nb = TKp // block_size          # absmax rows per tile
+    koff = K2 // TKp                # high-half offset in x-tile / am-block units
+
+    am_rows = K // block_size
+    out = pl.pallas_call(
+        functools.partial(
+            _qmm_fwd_kernel, code=code, block_size=block_size,
+            nb=nb, am_half_rows=am_rows // 2, out_dtype=out_dtype,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TM, TKp), lambda i, j, k: (i, k)),           # x low cols
+            pl.BlockSpec((TM, TKp), lambda i, j, k: (i, k + koff)),    # x high cols
+            pl.BlockSpec((TKp, TN), lambda i, j, k: (k, j)),           # packed
+            pl.BlockSpec((am_rows, TN), lambda i, j, k: (0, j)),       # absmax (all rows)
+        ],
+        out_specs=pl.BlockSpec((TM, TN), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((TM, TN), jnp.float32)],
+        interpret=_use_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * K * N,
+            bytes_accessed=Mp * K * 2 + K * N // 2 + 4 * K * N // block_size + Mp * N * 2,
+            transcendentals=0,
+        ),
+    )(xp, xp, packed, am)
+    return out[:M] if Mp != M else out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("shape", "block_size", "quant_type", "out_dtype")
+)
+def _qmm_bwd_pallas(g, packed, am, shape, block_size, quant_type, out_dtype=jnp.bfloat16):
+    """dx = g @ dequant(packed, am)ᵀ; g [M, N] → [M, K]."""
+    K, N = shape
+    K2 = K // 2
+    M = g.shape[0]
+    code = CODEBOOKS[quant_type]
+
+    TK = _pick_tile(K2, (512, 256, 128))  # logical-K output tile (divides K/2)
+    TN = _pick_tile(N, (256, 128))
+    gp = _pad_rows(g.astype(jnp.bfloat16), 16)
+    Mp = gp.shape[0]
+    TM = _pick_tile(Mp, (256, 128, 64, 32, 16))
+
+    nj_half = K2 // TK
+    grid = (Mp // TM, K // TK, N // TN)
+    nb = TK // block_size
+
+    am_rows = K // block_size
+    out = pl.pallas_call(
+        functools.partial(
+            _qmm_bwd_kernel,
+            code=code, block_size=block_size, nb=nb, nj_half=nj_half,
+            out_dtype=out_dtype,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TM, TN), lambda i, j, k: (i, k)),            # g
+            pl.BlockSpec((TK, TN), lambda i, j, k: (j % nj_half, k)),  # packed
+            pl.BlockSpec((am_rows, TN), lambda i, j, k: (0, k)),       # absmax (all rows)
+        ],
+        out_specs=pl.BlockSpec((TM, TK), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((Mp, K), out_dtype),
+        scratch_shapes=[pltpu.VMEM((TM, TK), jnp.float32)],
+        interpret=_use_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * K * N,
+            bytes_accessed=Mp * N * 2 + K * N + 4 * K * N // block_size + Mp * K * 2,
+            transcendentals=0,
+        ),
+    )(gp, packed, am)
+    return out[:M] if Mp != M else out
+
+
+def _supports_pallas_tiles(K: int, N: int) -> bool:
+    # K/2 and N must both be tileable to the 128-lane minimum
+    return K % 256 == 0 and N % 128 == 0
+
+
+# ---------------------------------------------------------------------------
+# public op with custom VJP
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def qmatmul(x: jax.Array, qt: QuantizedTensor, impl: Impl = "auto") -> jax.Array:
+    """``x @ dequant(qt)`` for 2-D x [M, K] → [M, N] (bf16 out, fp32 accum).
+
+    Differentiable in x only; the quantized weight is frozen (matches the
+    reference's MatMul4Bit: no weight gradient, re-dequantize in backward).
+    """
+    return _qmm_forward(x, qt, impl)
+
+
+def _resolve_impl(impl: Impl, K, N) -> str:
+    if impl == "auto":
+        return "pallas" if _supports_pallas_tiles(K, N) else "xla"
+    return impl
+
+
+def _qmm_forward(x, qt, impl):
+    K, N = qt.shape
+    if _resolve_impl(impl, K, N) == "pallas":
+        am = absmax_f32(qt)
+        return _qmm_pallas(
+            x, qt.packed, am, qt.shape, qt.block_size, qt.quant_type,
+            out_dtype=jnp.bfloat16,
+        )
+    w = dequantize(qt, dtype=jnp.bfloat16)
+    return jnp.dot(x.astype(jnp.bfloat16), w, preferred_element_type=jnp.float32).astype(
+        jnp.bfloat16
+    )
+
+
+def _qmm_fwd_rule(x, qt, impl):
+    return _qmm_forward(x, qt, impl), qt
+
+
+def _qmm_bwd_rule(impl, qt, g):
+    K, N = qt.shape
+    if _resolve_impl(impl, K, N) == "pallas":
+        am = absmax_f32(qt)
+        dx = _qmm_bwd_pallas(
+            g, qt.packed, am, qt.shape, qt.block_size, qt.quant_type,
+            out_dtype=jnp.bfloat16,
+        )
+    else:
+        w = dequantize(qt, dtype=jnp.bfloat16)
+        dx = jnp.dot(
+            g.astype(jnp.bfloat16), w.T, preferred_element_type=jnp.float32
+        ).astype(jnp.bfloat16)
+    # frozen weight: zero cotangent (float0 for integer leaves)
+    dqt = jax.tree_util.tree_map(
+        lambda p: (
+            np.zeros(p.shape, jax.dtypes.float0)
+            if not jnp.issubdtype(p.dtype, jnp.floating)
+            else jnp.zeros_like(p)
+        ),
+        qt,
+    )
+    return dx, dqt
+
+
+qmatmul.defvjp(_qmm_fwd_rule, _qmm_bwd_rule)

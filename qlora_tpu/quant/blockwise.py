@@ -7,14 +7,22 @@ layout instead of bnb's flat-memory blocks:
 * A weight ``W[K, N]`` (used as ``y = x @ W``) is quantized in blocks of
   ``block_size`` (default 64) **along the contraction axis K, per output
   column n**: ``absmax[K//B, n] = max |W[bB:(b+1)B, n]|``.
-* 4-bit codes are packed two-per-byte **along K**: byte ``(k2, n)`` holds
-  element ``(2·k2, n)`` in the low nibble and ``(2·k2+1, n)`` in the high
-  nibble.  Both the nibble pairing and the quant blocks therefore lie along
-  K, so sharding along N is unconstrained and sharding along K only needs
-  ``block_size`` divisibility.
+* 4-bit codes are packed two-per-byte with **global split-half** layout:
+  byte ``(r, n)`` holds logical row ``r`` in the low nibble and row
+  ``K/2 + r`` in the high nibble.  A packed K-tile therefore decodes with
+  two 2-D bit-ops (no element interleave, no 3-D masks — Mosaic-friendly),
+  and the fused matmul kernel contracts it against two x-tiles
+  (``x[:, kTile]`` and ``x[:, K/2 + kTile]``) reading each packed byte
+  exactly once.  Quant blocks lie along K, so sharding along N is
+  unconstrained; sharding along K must shard packed rows (each shard pairs
+  logical rows ``r``/``K/2+r`` consistently when x is sharded to match —
+  see qlora_tpu.parallel for the partition rules).
 * Double quantization (QLoRA §3.2, reference call-site qlora.py:324) stores
-  the fp32 absmax tensor as int8 with one fp32 scale per 256-element block
-  plus a single fp32 mean offset, saving ~0.37 bits/param.
+  the fp32 absmax tensor as int8 with one fp32 scale per meta-block of 256
+  scales plus a single fp32 mean offset, saving ~0.37 bits/param.  Unlike
+  bnb's flat-memory 256-blocks, meta-blocks here are **column-aligned**
+  (along K within each output column) so scale dequant can fuse into the
+  matmul kernel and sharding along N never splits a meta-block.
 
 Everything here is shape-static, jit-able, and runs on CPU; the Pallas
 kernels in ``qlora_tpu.ops`` consume this storage format and are tested
@@ -80,35 +88,36 @@ def _encode(w_scaled: jax.Array, code: jax.Array) -> jax.Array:
 
 
 def double_quantize_absmax(absmax: jax.Array):
-    """Quantize the fp32 absmax tensor to int8 blockwise (block 256) + offset.
+    """Quantize the fp32 absmax tensor ``[R, N]`` to int8 with column-aligned
+    meta-blocks of (up to) 256 scales along R, plus a global fp32 mean offset.
 
-    Returns (q_int8_flat, scales_f32, offset_f32scalar, orig_size).
-    The flat tensor is zero-padded to a multiple of 256; padding dequantizes
-    to `offset` values that are never read (absmax is reshaped back to its
-    true size).
+    Returns (q_int8 [R, N], scales_f32 [ceil(R/256), N], offset_f32scalar).
+    R is zero-padded internally to a multiple of 256; padded entries are
+    trimmed on dequant.
     """
-    flat = absmax.reshape(-1).astype(jnp.float32)
-    size = flat.shape[0]
-    pad = (-size) % ABSMAX_BLOCK
-    offset = jnp.mean(flat)
-    centered = jnp.pad(flat - offset, (0, pad))
-    blocks = centered.reshape(-1, ABSMAX_BLOCK)
-    scales = jnp.max(jnp.abs(blocks), axis=1)
+    R, N = absmax.shape
+    am = absmax.astype(jnp.float32)
+    pad = (-R) % ABSMAX_BLOCK
+    offset = jnp.mean(am)
+    centered = jnp.pad(am - offset, ((0, pad), (0, 0)))
+    blocks = centered.reshape(-1, ABSMAX_BLOCK, N)
+    scales = jnp.max(jnp.abs(blocks), axis=1)  # [nmb, N]
     safe = jnp.where(scales == 0, 1.0, scales)
-    q = jnp.clip(jnp.round(blocks / safe[:, None] * 127.0), -127, 127).astype(jnp.int8)
-    return q.reshape(-1), scales, offset, size
+    q = jnp.clip(jnp.round(blocks / safe[:, None, :] * 127.0), -127, 127)
+    return q.reshape(-1, N)[:R].astype(jnp.int8), scales, offset
 
 
 def dequantize_absmax(
     q: jax.Array, scales: jax.Array, offset: jax.Array, out_shape: tuple
 ) -> jax.Array:
     """Inverse of :func:`double_quantize_absmax` → f32 absmax of `out_shape`."""
-    blocks = q.reshape(-1, ABSMAX_BLOCK).astype(jnp.float32)
-    flat = blocks * (scales[:, None] / 127.0) + offset
-    size = 1
-    for d in out_shape:
-        size *= d
-    return flat.reshape(-1)[:size].reshape(out_shape)
+    R, N = out_shape
+    pad = (-R) % ABSMAX_BLOCK
+    blocks = jnp.pad(q.astype(jnp.float32), ((0, pad), (0, 0))).reshape(
+        -1, ABSMAX_BLOCK, N
+    )
+    flat = blocks * (scales[:, None, :] / 127.0) + offset
+    return flat.reshape(-1, N)[:R]
 
 
 @partial(jax.jit, static_argnames=("block_size", "quant_type", "double_quant"))
@@ -122,10 +131,9 @@ def quantize(
     if w.ndim != 2:
         raise ValueError(f"quantize expects a 2-D weight, got shape {w.shape}")
     K, N = w.shape
-    if K % block_size != 0:
-        raise ValueError(f"K={K} must be divisible by block_size={block_size}")
-    if block_size % 2 != 0:
-        raise ValueError("block_size must be even (2 nibbles per byte along K)")
+    if K % (2 * block_size) != 0:
+        # split-half packing pairs rows r and K/2+r; K/2 must cover whole blocks
+        raise ValueError(f"K={K} must be divisible by 2*block_size={2 * block_size}")
     code = get_code(quant_type)
 
     wf = w.astype(jnp.float32)
@@ -135,11 +143,12 @@ def quantize(
     scaled = (blocks / safe[:, None, :]).reshape(K, N)
     idx = _encode(scaled, code)  # uint8 [K, N], values 0..15
 
-    pairs = idx.reshape(K // 2, 2, N)
-    packed = (pairs[:, 0, :] | (pairs[:, 1, :] << 4)).astype(jnp.uint8)
+    # global split-half packing: row r low nibble, row K/2 + r high nibble
+    half = K // 2
+    packed = (idx[:half] | (idx[half:] << 4)).astype(jnp.uint8)
 
     if double_quant:
-        q, sc, off, _ = double_quantize_absmax(absmax)
+        q, sc, off = double_quantize_absmax(absmax)
         return QuantizedTensor(
             packed=packed, absmax=q, absmax_scale=sc, absmax_offset=off,
             shape=(K, N), block_size=block_size, quant_type=quant_type,
@@ -159,12 +168,12 @@ def absmax_f32(qt: QuantizedTensor) -> jax.Array:
     return qt.absmax.astype(jnp.float32)
 
 
-def unpack_indices(packed: jax.Array) -> jax.Array:
-    """uint8 [K//2, N] → uint8 code indices [K, N] (low nibble first)."""
-    K2, N = packed.shape
+def unpack_indices(packed: jax.Array, block_size: int = DEFAULT_BLOCK) -> jax.Array:
+    """uint8 [K//2, N] → uint8 code indices [K, N] (global split-half)."""
+    del block_size  # layout no longer depends on it; kept for API stability
     low = packed & jnp.uint8(0x0F)
     high = packed >> 4
-    return jnp.stack([low, high], axis=1).reshape(K2 * 2, N)
+    return jnp.concatenate([low, high], axis=0)
 
 
 @partial(jax.jit, static_argnames=("dtype",))
@@ -172,7 +181,7 @@ def dequantize(qt: QuantizedTensor, dtype=jnp.bfloat16) -> jax.Array:
     """Reconstruct the weight ``W[K, N]`` in `dtype` (pure-jnp reference path)."""
     K, N = qt.shape
     code = get_code(qt.quant_type)
-    idx = unpack_indices(qt.packed)
+    idx = unpack_indices(qt.packed, qt.block_size)
     vals = code[idx.astype(jnp.int32)]  # f32 [K, N]
     am = absmax_f32(qt)                 # [K//B, N]
     w = vals.reshape(K // qt.block_size, qt.block_size, N) * am[:, None, :]

@@ -7,7 +7,7 @@ test strategy in SURVEY.md §4.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: env may pre-set a TPU platform
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +16,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402  (import after env vars are set)
 
+# The axon TPU plugin's sitecustomize sets jax_platforms="axon,cpu"
+# programmatically, overriding the env var — force CPU back for tests.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # Persistent compile cache: keeps repeat test runs fast.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")

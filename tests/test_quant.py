@@ -86,15 +86,14 @@ def test_roundtrip_error_bound():
 def test_exact_codebook_values_roundtrip_exactly():
     # A weight whose entries are exactly codebook*absmax must survive intact.
     am = 3.7
-    w = np.tile(NF4_CODE * am, (8, 4)).T.reshape(64, 8).astype(np.float32)
-    w = np.ascontiguousarray(np.tile((NF4_CODE * am)[None, :], (64, 1)))[:, :8]
+    w = np.ascontiguousarray(np.tile((NF4_CODE * am)[None, :], (128, 1)))[:, :8]
     qt = quantize(jnp.asarray(w), double_quant=False)
     wr = np.asarray(dequantize(qt, dtype=jnp.float32))
     np.testing.assert_allclose(wr, w, rtol=1e-6)
 
 
 def test_zero_block_handling():
-    w = np.zeros((64, 8), dtype=np.float32)
+    w = np.zeros((128, 8), dtype=np.float32)
     qt = quantize(jnp.asarray(w))
     wr = np.asarray(dequantize(qt, dtype=jnp.float32))
     assert np.all(wr == 0)
@@ -130,35 +129,36 @@ def test_double_quant_memory_footprint():
 
 
 def test_unpack_indices_inverts_packing():
+    # global split-half layout: row r low nibble, row K/2+r high nibble
     rng = np.random.default_rng(3)
     idx = rng.integers(0, 16, size=(128, 16)).astype(np.uint8)
-    packed = (idx[0::2] | (idx[1::2] << 4)).astype(np.uint8)
+    packed = (idx[:64] | (idx[64:] << 4)).astype(np.uint8)
     got = np.asarray(unpack_indices(jnp.asarray(packed)))
     np.testing.assert_array_equal(got, idx)
 
 
 def test_quantize_validation_errors():
     with pytest.raises(ValueError):
-        quantize(jnp.zeros((100, 8)))  # K not divisible by 64
+        quantize(jnp.zeros((100, 8)))  # K not divisible by 128
     with pytest.raises(ValueError):
-        quantize(jnp.zeros((64,)))  # not 2-D
+        quantize(jnp.zeros((128,)))  # not 2-D
     with pytest.raises(ValueError):
-        quantize(jnp.zeros((64, 8)), quant_type="int4")
+        quantize(jnp.zeros((128, 8)), quant_type="int4")
 
 
 def test_quantized_tensor_is_pytree():
-    qt = quantize(jnp.ones((64, 8)))
+    qt = quantize(jnp.ones((128, 8)))
     leaves = jax.tree_util.tree_leaves(qt)
     assert len(leaves) >= 2
     # must survive a jit round-trip as an argument/return value
     out = jax.jit(lambda q: q)(qt)
     assert isinstance(out, QuantizedTensor)
-    assert out.shape == (64, 8)
+    assert out.shape == (128, 8)
 
 
 def test_bf16_input_quantizes():
     rng = np.random.default_rng(4)
-    w = rng.standard_normal((64, 16)).astype(np.float32)
+    w = rng.standard_normal((128, 16)).astype(np.float32)
     qt16 = quantize(jnp.asarray(w, dtype=jnp.bfloat16), double_quant=False)
     wr = np.asarray(dequantize(qt16, dtype=jnp.float32))
     # error bounded by NF4 gap/2 * absmax (absmax <= ~4 for this seed) + bf16 rounding
