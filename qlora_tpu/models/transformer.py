@@ -1,0 +1,323 @@
+"""The decoder-only transformer: LLaMA family + GPT-NeoX (pythia) family.
+
+One unified functional implementation driven by ModelConfig flags (SwiGLU vs
+GELU MLP, RMSNorm vs LayerNorm, parallel residual, partial rotary, biases,
+GQA).  Layers are stacked and iterated with ``lax.scan`` (fast compiles,
+remat-friendly); frozen base weights are NF4 ``QLinear``s computed through
+the fused Pallas dequant-matmul, LoRA adapters ride on every block linear
+(reference applies LoRA to all linear layers: qlora.py:248-259,385).
+
+Param pytree layout (all block leaves stacked over the layer axis L):
+  params = {
+    "embed":      [V, D] bf16 (frozen),
+    "blocks":     {...per-arch block dict of QLinear/DenseLinear/norm arrays},
+    "final_norm": {"scale": [D], ("bias": [D])} f32,
+    "lm_head":    DenseLinear [D, V] bf16 (frozen, never quantized — matches
+                  transformers' bnb integration which skips lm_head),
+  }
+  lora = {"<linear name>": {"a": [L, K, r], "b": [L, r, N]} f32, ...}
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from qlora_tpu.lora import LoraConfig, apply_lora, init_lora
+from qlora_tpu.models.config import ModelConfig
+from qlora_tpu.models.layers import (
+    DenseLinear,
+    QLinear,
+    apply_linear,
+    apply_rope,
+    attention,
+    causal_mask,
+    layer_norm,
+    rms_norm,
+    rope_frequencies,
+)
+from qlora_tpu.quant.blockwise import quantize
+
+LLAMA_LINEARS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+NEOX_LINEARS = ("w_qkv", "wo", "w_fc", "w_out")
+
+
+def linear_names(cfg: ModelConfig):
+    return LLAMA_LINEARS if cfg.arch == "llama" else NEOX_LINEARS
+
+
+def linear_dims(cfg: ModelConfig) -> dict:
+    """name → (in_dim, out_dim) for each block linear."""
+    D, I = cfg.hidden_size, cfg.intermediate_size
+    H, KVH, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    if cfg.arch == "llama":
+        return {
+            "wq": (D, H * hd), "wk": (D, KVH * hd), "wv": (D, KVH * hd),
+            "wo": (H * hd, D),
+            "w_gate": (D, I), "w_up": (D, I), "w_down": (I, D),
+        }
+    return {
+        "w_qkv": (D, 3 * D), "wo": (D, D),
+        "w_fc": (D, I), "w_out": (I, D),
+    }
+
+
+# ---------------------------------------------------------------------------
+# block forward
+# ---------------------------------------------------------------------------
+
+
+def _block_linear(block, lora, name, x, lcfg: LoraConfig, rng):
+    y = apply_linear(block[name], x)
+    if lora is not None and name in lora:
+        y = y + apply_lora(
+            x, lora[name], lcfg.scale, lcfg.dropout,
+            rng if lcfg.dropout > 0 else None,
+        )
+    return y
+
+
+def _attn(cfg, block, lora, lcfg, x, cos, sin, mask, cache_kv, pos, rng):
+    """Attention sub-block. cache_kv: None or (k_buf, v_buf) [B, T, KVH, hd]."""
+    B, S, D = x.shape
+    H, KVH, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    rotary_dim = int(cfg.rotary_pct * hd) // 2 * 2
+
+    if cfg.arch == "llama":
+        q = _block_linear(block, lora, "wq", x, lcfg, rng).reshape(B, S, H, hd)
+        k = _block_linear(block, lora, "wk", x, lcfg, rng).reshape(B, S, KVH, hd)
+        v = _block_linear(block, lora, "wv", x, lcfg, rng).reshape(B, S, KVH, hd)
+    else:
+        qkv = _block_linear(block, lora, "w_qkv", x, lcfg, rng)
+        # HF NeoX packs qkv per-head: [B, S, H, 3, hd]
+        qkv = qkv.reshape(B, S, H, 3, hd)
+        q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
+
+    q = apply_rope(q, cos, sin, rotary_dim)
+    k = apply_rope(k, cos, sin, rotary_dim)
+
+    if cache_kv is not None:
+        k_buf, v_buf = cache_kv
+        # write the S new keys/values at contiguous positions starting pos[:, 0]
+        k_buf = jax.vmap(
+            lambda buf, kk, p: jax.lax.dynamic_update_slice(buf, kk, (p, 0, 0))
+        )(k_buf, k, pos[:, 0])
+        v_buf = jax.vmap(
+            lambda buf, vv, p: jax.lax.dynamic_update_slice(buf, vv, (p, 0, 0))
+        )(v_buf, v, pos[:, 0])
+        attn_out = attention(q, k_buf, v_buf, mask)
+        new_cache = (k_buf, v_buf)
+    else:
+        attn_out = attention(q, k, v, mask)
+        new_cache = None
+
+    attn_out = attn_out.reshape(B, S, H * hd)
+    out = _block_linear(block, lora, "wo", attn_out, lcfg, rng)
+    return out, new_cache
+
+
+def _mlp(cfg, block, lora, lcfg, x, rng):
+    if cfg.arch == "llama":
+        g = _block_linear(block, lora, "w_gate", x, lcfg, rng)
+        u = _block_linear(block, lora, "w_up", x, lcfg, rng)
+        h = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)).astype(
+            jnp.bfloat16
+        )
+        return _block_linear(block, lora, "w_down", h, lcfg, rng)
+    h = _block_linear(block, lora, "w_fc", x, lcfg, rng)
+    h = jax.nn.gelu(h.astype(jnp.float32)).astype(jnp.bfloat16)
+    return _block_linear(block, lora, "w_out", h, lcfg, rng)
+
+
+def block_forward(cfg, lcfg, x, block, lora, cos, sin, mask, cache_kv, pos, rng):
+    """One transformer block. Returns (x, new_cache_kv)."""
+    if cfg.arch == "llama":
+        h = rms_norm(x, block["attn_norm"], cfg.norm_eps)
+        a, new_cache = _attn(cfg, block, lora, lcfg, h, cos, sin, mask, cache_kv, pos, rng)
+        x = x + a
+        h2 = rms_norm(x, block["mlp_norm"], cfg.norm_eps)
+        x = x + _mlp(cfg, block, lora, lcfg, h2, rng)
+    else:
+        h1 = layer_norm(x, block["ln1"]["scale"], block["ln1"]["bias"], cfg.norm_eps)
+        a, new_cache = _attn(cfg, block, lora, lcfg, h1, cos, sin, mask, cache_kv, pos, rng)
+        if cfg.use_parallel_residual:
+            h2 = layer_norm(x, block["ln2"]["scale"], block["ln2"]["bias"], cfg.norm_eps)
+            x = x + a + _mlp(cfg, block, lora, lcfg, h2, rng)
+        else:
+            x = x + a
+            h2 = layer_norm(x, block["ln2"]["scale"], block["ln2"]["bias"], cfg.norm_eps)
+            x = x + _mlp(cfg, block, lora, lcfg, h2, rng)
+    return x, new_cache
+
+
+# ---------------------------------------------------------------------------
+# full model forward
+# ---------------------------------------------------------------------------
+
+
+def forward(
+    params: dict,
+    lora: Optional[dict],
+    ids: jax.Array,                  # [B, S] int32
+    cfg: ModelConfig,
+    lcfg: LoraConfig = LoraConfig(),
+    *,
+    positions: Optional[jax.Array] = None,   # [B, S] (default arange)
+    attn_mask: Optional[jax.Array] = None,   # [B, S] 1=real (right padding)
+    cache: Optional[dict] = None,            # {"k","v": [L,B,T,KVH,hd], "length": [B]}
+    rng: Optional[jax.Array] = None,
+    remat: bool = False,
+) -> tuple[jax.Array, Optional[dict]]:
+    """Returns (logits [B, S, V] f32, updated cache or None)."""
+    B, S = ids.shape
+    x = params["embed"][ids].astype(jnp.bfloat16)
+
+    if positions is None:
+        if cache is not None:
+            positions = cache["length"][:, None] + jnp.arange(S)[None, :]
+        else:
+            positions = jnp.arange(S)[None, :].repeat(B, 0)
+
+    cos, sin = rope_frequencies(
+        cfg.head_dim, int(cfg.rotary_pct * cfg.head_dim) // 2 * 2,
+        cfg.rope_theta, positions,
+    )
+
+    if cache is not None:
+        T = cache["k"].shape[2]
+        kj = jnp.arange(T)[None, None, None, :]
+        # keys valid if already written (< length) or being written now (<= pos)
+        mask = kj <= positions[:, None, :, None]
+    else:
+        T = S
+        mask = causal_mask(S, S)
+        mask = jnp.broadcast_to(mask, (B, 1, S, S))
+        if attn_mask is not None:
+            mask = mask & attn_mask[:, None, None, :].astype(bool)
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    layer_rngs = jax.random.split(rng, cfg.num_layers)
+
+    blk = functools.partial(block_forward, cfg, lcfg)
+
+    def scan_body(x, per_layer):
+        block, lora_l, cache_l, rng_l = per_layer
+        xo, new_cache = blk(x, block, lora_l, cos, sin, mask, cache_l, positions, rng_l)
+        return xo, new_cache
+
+    body = jax.checkpoint(scan_body) if remat else scan_body
+
+    cache_in = (cache["k"], cache["v"]) if cache is not None else None
+    if cache_in is not None:
+        x, cache_out = jax.lax.scan(
+            body, x, (params["blocks"], lora, cache_in, layer_rngs)
+        )
+        new_cache = {
+            "k": cache_out[0], "v": cache_out[1],
+            "length": positions[:, -1] + 1,
+        }
+    else:
+        def body_nc(x, per_layer):
+            block, lora_l, rng_l = per_layer
+            xo, _ = blk(x, block, lora_l, cos, sin, mask, None, positions, rng_l)
+            return xo, None
+        body_nc = jax.checkpoint(body_nc) if remat else body_nc
+        x, _ = jax.lax.scan(body_nc, x, (params["blocks"], lora, layer_rngs))
+        new_cache = None
+
+    if cfg.arch == "llama":
+        x = rms_norm(x, params["final_norm"]["scale"], cfg.norm_eps)
+    else:
+        x = layer_norm(
+            x, params["final_norm"]["scale"], params["final_norm"]["bias"], cfg.norm_eps
+        )
+    logits = apply_linear(params["lm_head"], x).astype(jnp.float32)
+    return logits, new_cache
+
+
+# ---------------------------------------------------------------------------
+# initialization
+# ---------------------------------------------------------------------------
+
+
+def _init_linear(key, in_dim, out_dim, use_bias, quantized, dtype=jnp.bfloat16):
+    w = jax.random.normal(key, (in_dim, out_dim), jnp.float32) * (in_dim ** -0.5)
+    bias = jnp.zeros((out_dim,), jnp.float32) if use_bias else None
+    if quantized:
+        return QLinear(qt=quantize(w), bias=bias)
+    return DenseLinear(w=w.astype(dtype), bias=bias)
+
+
+def init_params(
+    key: jax.Array, cfg: ModelConfig, quantized: bool = True
+) -> dict:
+    """Random-init model params (tests/benchmarks; real weights via hf_import)."""
+    D = cfg.hidden_size
+    keys = jax.random.split(key, 8)
+    dims = linear_dims(cfg)
+
+    def init_block(k):
+        ks = jax.random.split(k, len(dims) + 1)
+        block = {}
+        for i, (name, (di, do)) in enumerate(sorted(dims.items())):
+            block[name] = _init_linear(ks[i], di, do, cfg.use_bias, quantized)
+        if cfg.arch == "llama":
+            block["attn_norm"] = jnp.ones((D,), jnp.float32)
+            block["mlp_norm"] = jnp.ones((D,), jnp.float32)
+        else:
+            block["ln1"] = {"scale": jnp.ones((D,), jnp.float32),
+                            "bias": jnp.zeros((D,), jnp.float32)}
+            block["ln2"] = {"scale": jnp.ones((D,), jnp.float32),
+                            "bias": jnp.zeros((D,), jnp.float32)}
+        return block
+
+    layer_keys = jax.random.split(keys[0], cfg.num_layers)
+    blocks = [init_block(k) for k in layer_keys]
+    blocks = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
+
+    if cfg.arch == "llama":
+        final_norm = {"scale": jnp.ones((D,), jnp.float32)}
+    else:
+        final_norm = {"scale": jnp.ones((D,), jnp.float32),
+                      "bias": jnp.zeros((D,), jnp.float32)}
+
+    embed = jax.random.normal(keys[1], (cfg.vocab_size, D), jnp.float32) * 0.02
+    lm_head = DenseLinear(
+        w=(embed.T if cfg.tie_word_embeddings
+           else jax.random.normal(keys[2], (D, cfg.vocab_size), jnp.float32) * (D ** -0.5)
+           ).astype(jnp.bfloat16),
+        bias=None,
+    )
+    return {
+        "embed": embed.astype(jnp.bfloat16),
+        "blocks": blocks,
+        "final_norm": final_norm,
+        "lm_head": lm_head,
+    }
+
+
+def init_lora_params(key: jax.Array, cfg: ModelConfig, lcfg: LoraConfig) -> dict:
+    """LoRA adapters for every block linear, stacked over layers."""
+    dims = linear_dims(cfg)
+    out = {}
+    keys = jax.random.split(key, len(dims))
+    for k, (name, (di, do)) in zip(keys, sorted(dims.items())):
+        layer_keys = jax.random.split(k, cfg.num_layers)
+        ads = [init_lora(lk, di, do, lcfg.r) for lk in layer_keys]
+        out[name] = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *ads)
+    return out
+
+
+def init_cache(cfg: ModelConfig, batch: int, max_len: int) -> dict:
+    """Fixed-size KV cache buffers."""
+    L, KVH, hd = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
+    shape = (L, batch, max_len, KVH, hd)
+    return {
+        "k": jnp.zeros(shape, jnp.bfloat16),
+        "v": jnp.zeros(shape, jnp.bfloat16),
+        "length": jnp.zeros((batch,), jnp.int32),
+    }

