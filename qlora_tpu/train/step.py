@@ -1,0 +1,114 @@
+"""The jit training/eval step: value_and_grad over LoRA params, gradient
+accumulation via lax.scan, optax update.
+
+Replaces the reference's transformers.Seq2SeqTrainer inner loop
+(SURVEY.md §3.3 / N9): per-microbatch forward (grad-checkpointed blocks),
+backward through the fused dequant-matmul into LoRA only, clip 0.3,
+AdamW, warmup-then-constant LR.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from qlora_tpu.lora import LoraConfig
+from qlora_tpu.models.config import ModelConfig
+from qlora_tpu.models.transformer import forward
+from qlora_tpu.train.loss import masked_cross_entropy
+
+
+@struct.dataclass
+class TrainState:
+    step: jax.Array
+    trainable: Any            # LoRA pytree (or full params in full-finetune)
+    opt_state: Any
+
+
+def loss_fn(trainable, frozen, batch, cfg, lcfg, rng, train):
+    logits, _ = forward(
+        frozen, trainable, batch["input_ids"], cfg, lcfg,
+        attn_mask=batch.get("attention_mask"),
+        rng=rng, remat=train,
+    )
+    # next-token alignment: logits[:, t] predicts labels[:, t+1]
+    loss, n = masked_cross_entropy(logits[:, :-1], batch["labels"][:, 1:])
+    return loss, n
+
+
+def make_train_step(
+    cfg: ModelConfig,
+    lcfg: LoraConfig,
+    optimizer: optax.GradientTransformation,
+    accum_steps: int = 1,
+    donate: bool = True,
+):
+    """Returns train_step(state, frozen_params, batch, rng) -> (state, metrics).
+
+    batch leaves are [accum_steps, micro_bs, S] when accum_steps > 1, else
+    [bs, S].  Gradients are averaged over microbatches inside one jit.
+    """
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def one_micro(trainable, frozen, mb, rng):
+        (loss, n), grads = grad_fn(trainable, frozen, mb, cfg, lcfg, rng, True)
+        return loss, n, grads
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state: TrainState, frozen, batch, rng):
+        if accum_steps == 1:
+            loss, n, grads = one_micro(state.trainable, frozen, batch, rng)
+        else:
+            rngs = jax.random.split(rng, accum_steps)
+
+            def body(carry, xs):
+                gsum, losssum, nsum = carry
+                mb, r = xs
+                loss, n, grads = one_micro(state.trainable, frozen, mb, r)
+                gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
+                return (gsum, losssum + loss * n, nsum + n), None
+
+            zeros = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.trainable
+            )
+            (gsum, losssum, nsum), _ = jax.lax.scan(
+                body, (zeros, jnp.float32(0), jnp.int32(0)), (batch, rngs)
+            )
+            grads = jax.tree_util.tree_map(lambda g: g / accum_steps, gsum)
+            loss = losssum / jnp.maximum(nsum, 1)
+
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.trainable
+        )
+        trainable = optax.apply_updates(state.trainable, updates)
+        gnorm = optax.global_norm(grads)
+        new_state = TrainState(
+            step=state.step + 1, trainable=trainable, opt_state=opt_state
+        )
+        return new_state, {"loss": loss, "grad_norm": gnorm}
+
+    return train_step
+
+
+def make_eval_step(cfg: ModelConfig, lcfg: LoraConfig):
+    @jax.jit
+    def eval_step(trainable, frozen, batch):
+        loss, n = loss_fn(trainable, frozen, batch, cfg, lcfg,
+                          jax.random.PRNGKey(0), False)
+        return loss, n
+
+    return eval_step
+
+
+def init_train_state(trainable, optimizer) -> TrainState:
+    return TrainState(
+        step=jnp.zeros([], jnp.int32),
+        trainable=trainable,
+        opt_state=optimizer.init(trainable),
+    )
