@@ -54,14 +54,16 @@ def bench(M=256, K=4096, N=4096, iters=50):
     qt = quantize(w)
     am = absmax_f32(qt)
 
+    # NB: pass all arrays as jit args — closure constants are re-uploaded per
+    # dispatch through the axon relay and wreck timing.
     f = jax.jit(
-        lambda x_: _qmm_pallas(x_, qt.packed, am, qt.shape, qt.block_size, qt.quant_type)
+        lambda x_, p_, a_: _qmm_pallas(x_, p_, a_, qt.shape, qt.block_size, qt.quant_type)
     )
-    y = f(x)
+    y = f(x, qt.packed, am)
     y.block_until_ready()
     t0 = time.perf_counter()
     for _ in range(iters):
-        y = f(x)
+        y = f(x, qt.packed, am)
     y.block_until_ready()
     dt = (time.perf_counter() - t0) / iters
     flops = 2 * M * K * N
