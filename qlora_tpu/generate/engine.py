@@ -1,0 +1,166 @@
+"""Generation engine: prefill + jit token-at-a-time decode with KV cache.
+
+The inference API surface the reference defines (SURVEY.md §3.5):
+* batch predict   — ``generate()`` (one jit'd while_loop, fastest path)
+* streaming       — ``generate_stream()`` (python loop over a jit step,
+                    yields tokens as they decode; TextIteratorStreamer
+                    equivalent of the demo notebook)
+* continuous batching — ``ContinuousBatcher`` (slot-based KV cache,
+                    per-slot lengths; BASELINE.json north star)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qlora_tpu.lora import LoraConfig
+from qlora_tpu.models.config import ModelConfig
+from qlora_tpu.models.transformer import forward, init_cache
+from qlora_tpu.generate.sampler import SamplingParams, sample_token
+
+
+def _token_seen_mask(ids: jax.Array, vocab: int) -> jax.Array:
+    """[B, S] ids → [B, V] bool: token appeared (pad/negative ids ignored)."""
+    one = jax.nn.one_hot(jnp.clip(ids, 0, vocab - 1), vocab, dtype=jnp.bool_)
+    valid = (ids >= 0)[..., None]
+    return jnp.any(one & valid, axis=1)
+
+
+def prefill(params, lora, ids, lengths, cfg, lcfg=LoraConfig(), *, cache):
+    """Run the prompt through the model, filling the cache.
+
+    ids [B, S] right-padded, lengths [B] true lengths.  Returns
+    (last_logits [B, V], cache with per-row length set).
+    """
+    B, S = ids.shape
+    positions = jnp.arange(S)[None, :].repeat(B, 0)
+    # valid-key mask is handled by causal mask vs positions; pads sit at
+    # positions >= length and are never attended by later decode steps.
+    logits, cache = forward(
+        params, lora, ids, cfg, lcfg, cache=cache, positions=positions
+    )
+    cache = dict(cache, length=lengths)
+    last = jnp.take_along_axis(logits, (lengths - 1)[:, None, None], axis=1)[:, 0]
+    return last, cache
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "lcfg", "sparams", "max_new_tokens", "eos_id"),
+)
+def decode_loop(
+    params,
+    lora,
+    first_logits,
+    cache,
+    prompt_seen,           # [B, V] bool for repetition penalty
+    rng,
+    *,
+    cfg: ModelConfig,
+    lcfg: LoraConfig,
+    sparams: SamplingParams,
+    max_new_tokens: int,
+    eos_id: int,
+):
+    """jit'd while_loop decode. Returns tokens [B, max_new_tokens] (eos-padded)."""
+    B = first_logits.shape[0]
+    V = cfg.vocab_size
+
+    def cond(state):
+        t, _, _, _, _, done, _ = state
+        return (t < max_new_tokens) & ~jnp.all(done)
+
+    def body(state):
+        t, logits, cache, seen, rng, done, out = state
+        rng, sub = jax.random.split(rng)
+        tok = sample_token(sub, logits, sparams, seen)
+        tok = jnp.where(done, eos_id, tok)
+        out = out.at[:, t].set(tok)
+        done = done | (tok == eos_id)
+        seen = seen | jax.nn.one_hot(tok, V, dtype=jnp.bool_)
+        new_logits, cache = forward(
+            params, lora, tok[:, None], cfg, lcfg, cache=cache
+        )
+        return (t + 1, new_logits[:, 0], cache, seen, rng, done, out)
+
+    out = jnp.full((B, max_new_tokens), eos_id, jnp.int32)
+    state = (
+        jnp.int32(0), first_logits, cache, prompt_seen, rng,
+        jnp.zeros((B,), bool), out,
+    )
+    state = jax.lax.while_loop(cond, body, state)
+    return state[6], state[2]
+
+
+def generate(
+    params,
+    lora,
+    ids: jax.Array,              # [B, S] right-padded prompts
+    lengths: jax.Array,          # [B]
+    cfg: ModelConfig,
+    lcfg: LoraConfig = LoraConfig(),
+    *,
+    max_new_tokens: int = 256,
+    eos_id: int = 2,
+    sparams: SamplingParams = SamplingParams(),
+    rng: Optional[jax.Array] = None,
+    max_len: Optional[int] = None,
+) -> jax.Array:
+    """Batch generation (the reference's trainer.predict path, qlora.py:817-834).
+
+    Returns new tokens [B, max_new_tokens], eos-padded after stop.
+    """
+    B, S = ids.shape
+    max_len = max_len or (S + max_new_tokens)
+    cache = init_cache(cfg, B, max_len)
+    last_logits, cache = prefill(params, lora, ids, lengths, cfg, lcfg, cache=cache)
+    seen = _token_seen_mask(
+        jnp.where(jnp.arange(S)[None] < lengths[:, None], ids, -1), cfg.vocab_size
+    )
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    toks, _ = decode_loop(
+        params, lora, last_logits, cache, seen, rng,
+        cfg=cfg, lcfg=lcfg, sparams=sparams,
+        max_new_tokens=max_new_tokens, eos_id=eos_id,
+    )
+    return toks
+
+
+def generate_stream(
+    params, lora, ids, lengths, cfg, lcfg=LoraConfig(), *,
+    max_new_tokens=256, eos_id=2, sparams=SamplingParams(), rng=None,
+    max_len=None,
+) -> Iterator[np.ndarray]:
+    """Streaming generation: yields [B] token ids per step (the demo
+    notebook's TextIteratorStreamer equivalent)."""
+    B, S = ids.shape
+    max_len = max_len or (S + max_new_tokens)
+    cache = init_cache(cfg, B, max_len)
+    logits, cache = prefill(params, lora, ids, lengths, cfg, lcfg, cache=cache)
+    seen = _token_seen_mask(
+        jnp.where(jnp.arange(S)[None] < lengths[:, None], ids, -1), cfg.vocab_size
+    )
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    done = np.zeros((B,), bool)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def step(logits, cache, seen, rng):
+        rng, sub = jax.random.split(rng)
+        tok = sample_token(sub, logits, sparams, seen)
+        seen = seen | jax.nn.one_hot(tok, cfg.vocab_size, dtype=jnp.bool_)
+        new_logits, cache = forward(params, lora, tok[:, None], cfg, lcfg, cache=cache)
+        return tok, new_logits[:, 0], cache, seen, rng
+
+    for _ in range(max_new_tokens):
+        tok, logits, cache, seen, rng = step(logits, cache, seen, rng)
+        tok_np = np.asarray(tok)
+        tok_np = np.where(done, eos_id, tok_np)
+        yield tok_np
+        done |= tok_np == eos_id
+        if done.all():
+            return

@@ -1,0 +1,70 @@
+"""Token sampling: temperature / top-k / top-p / repetition penalty.
+
+Parity with the reference's GenerationArguments surface
+(/root/reference/qlora.py:216-246) and HF sampling semantics.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class SamplingParams(NamedTuple):
+    do_sample: bool = False
+    temperature: float = 1.0
+    top_k: int = 0            # 0 = disabled (HF: 50 default when sampling)
+    top_p: float = 1.0
+    repetition_penalty: float = 1.0
+
+
+def apply_repetition_penalty(logits: jax.Array, seen_mask: jax.Array, penalty: float):
+    """HF CTRL-style: seen tokens' positive logits /= p, negative *= p.
+
+    logits [B, V]; seen_mask [B, V] bool (token appeared in the sequence).
+    """
+    if penalty == 1.0:
+        return logits
+    penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(seen_mask, penalized, logits)
+
+
+def top_k_mask(logits: jax.Array, k: int) -> jax.Array:
+    if k <= 0:
+        return logits
+    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    return jnp.where(logits < kth, -jnp.inf, logits)
+
+
+def top_p_mask(logits: jax.Array, p: float) -> jax.Array:
+    if p >= 1.0:
+        return logits
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # keep tokens until cumulative prob exceeds p (always keep the top-1)
+    cutoff_mask = cum - probs > p
+    cutoff_logit = jnp.min(
+        jnp.where(cutoff_mask, jnp.inf, sorted_logits), axis=-1, keepdims=True
+    )
+    return jnp.where(logits < cutoff_logit, -jnp.inf, logits)
+
+
+def sample_token(
+    rng: jax.Array,
+    logits: jax.Array,          # [B, V] f32
+    params: SamplingParams,
+    seen_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Returns next token ids [B]."""
+    if seen_mask is not None and params.repetition_penalty != 1.0:
+        logits = apply_repetition_penalty(logits, seen_mask, params.repetition_penalty)
+    if not params.do_sample:
+        return jnp.argmax(logits, axis=-1)
+    if params.temperature != 1.0:
+        logits = logits / jnp.maximum(params.temperature, 1e-6)
+    logits = top_k_mask(logits, params.top_k)
+    logits = top_p_mask(logits, params.top_p)
+    return jax.random.categorical(rng, logits, axis=-1)

@@ -1,0 +1,114 @@
+"""Generation tests: greedy decode vs full-forward argmax, sampling ops."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qlora_tpu.generate import (
+    SamplingParams, generate, generate_stream, top_k_mask, top_p_mask,
+)
+from qlora_tpu.generate.sampler import apply_repetition_penalty
+from qlora_tpu.models import forward, get_config, init_params
+
+
+@pytest.fixture(scope="module", params=["debug", "debug-neox"])
+def model(request):
+    cfg = get_config(request.param)
+    params = init_params(jax.random.PRNGKey(0), cfg, quantized=True)
+    return cfg, params
+
+
+def _greedy_reference(params, cfg, prompt, n_new):
+    """Slow oracle: full forward each step, argmax last position."""
+    ids = list(prompt)
+    for _ in range(n_new):
+        logits, _ = forward(params, None, jnp.asarray([ids], jnp.int32), cfg)
+        ids.append(int(jnp.argmax(logits[0, -1])))
+    return ids[len(prompt):]
+
+
+def test_greedy_matches_full_forward(model):
+    cfg, params = model
+    prompt = [3, 17, 5, 9]
+    want = _greedy_reference(params, cfg, prompt, 6)
+    ids = jnp.asarray([prompt], jnp.int32)
+    got = generate(
+        params, None, ids, jnp.asarray([len(prompt)]), cfg,
+        max_new_tokens=6, eos_id=-1,  # never stop
+    )
+    got = np.asarray(got)[0].tolist()
+    assert got == want
+
+
+def test_generate_batch_with_padding(model):
+    cfg, params = model
+    # two prompts of different lengths, right-padded
+    ids = jnp.asarray([[3, 17, 5, 9], [4, 7, 0, 0]], jnp.int32)
+    lengths = jnp.asarray([4, 2])
+    toks = generate(params, None, ids, lengths, cfg, max_new_tokens=4, eos_id=-1)
+    assert toks.shape == (2, 4)
+    # row 1 must match generating it alone (padding must not leak)
+    solo = generate(
+        params, None, jnp.asarray([[4, 7]], jnp.int32), jnp.asarray([2]), cfg,
+        max_new_tokens=4, eos_id=-1,
+    )
+    np.testing.assert_array_equal(np.asarray(toks)[1], np.asarray(solo)[0])
+
+
+def test_stream_matches_batch(model):
+    cfg, params = model
+    ids = jnp.asarray([[3, 17, 5]], jnp.int32)
+    lengths = jnp.asarray([3])
+    batch_toks = np.asarray(
+        generate(params, None, ids, lengths, cfg, max_new_tokens=5, eos_id=-1)
+    )[0]
+    stream_toks = [
+        t[0] for t in generate_stream(
+            params, None, ids, lengths, cfg, max_new_tokens=5, eos_id=-1
+        )
+    ]
+    np.testing.assert_array_equal(batch_toks, np.asarray(stream_toks))
+
+
+def test_eos_stops_and_pads(model):
+    cfg, params = model
+    ids = jnp.asarray([[3, 5]], jnp.int32)
+    # eos = whatever greedy emits first => expect all-eos output after stop
+    first = _greedy_reference(params, cfg, [3, 5], 1)[0]
+    toks = generate(
+        params, None, ids, jnp.asarray([2]), cfg, max_new_tokens=4, eos_id=first
+    )
+    assert (np.asarray(toks) == first).all()
+
+
+def test_top_k_mask():
+    logits = jnp.asarray([[1.0, 3.0, 2.0, -1.0]])
+    out = np.asarray(top_k_mask(logits, 2))
+    assert np.isfinite(out[0, [1, 2]]).all()
+    assert np.isinf(out[0, [0, 3]]).all()
+
+
+def test_top_p_mask_keeps_top1():
+    logits = jnp.asarray([[10.0, 0.0, 0.0, 0.0]])
+    out = np.asarray(top_p_mask(logits, 0.5))
+    assert np.isfinite(out[0, 0])
+    assert np.isinf(out[0, 1:]).all()
+
+
+def test_repetition_penalty():
+    logits = jnp.asarray([[2.0, -2.0, 1.0]])
+    seen = jnp.asarray([[True, True, False]])
+    out = np.asarray(apply_repetition_penalty(logits, seen, 2.0))
+    np.testing.assert_allclose(out[0], [1.0, -4.0, 1.0])
+
+
+def test_sampling_reproducible(model):
+    cfg, params = model
+    ids = jnp.asarray([[3, 17, 5]], jnp.int32)
+    sp = SamplingParams(do_sample=True, temperature=0.8, top_k=50, top_p=0.9)
+    a = generate(params, None, ids, jnp.asarray([3]), cfg, max_new_tokens=4,
+                 eos_id=-1, sparams=sp, rng=jax.random.PRNGKey(7))
+    b = generate(params, None, ids, jnp.asarray([3]), cfg, max_new_tokens=4,
+                 eos_id=-1, sparams=sp, rng=jax.random.PRNGKey(7))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
