@@ -26,7 +26,7 @@ Two implementations share the storage format:
 from __future__ import annotations
 
 import functools
-from typing import Literal
+from typing import Literal, Optional
 
 import jax
 import jax.numpy as jnp
@@ -265,8 +265,25 @@ def qmatmul(x: jax.Array, qt: QuantizedTensor, impl: Impl = "auto") -> jax.Array
     return _qmm_forward(x, qt, impl)
 
 
+_IMPL_OVERRIDE: list = [None]
+
+
+def set_default_impl(impl: Optional[str]) -> None:
+    """Override 'auto' resolution globally (trace-time).
+
+    Use "xla" before jit-ing a GSPMD multi-device program: XLA can partition
+    the dequant+dot graph automatically, whereas a pallas_call would be
+    wrapped in all-gathers.  (Multi-chip pallas runs via shard_map instead.)
+    """
+    _IMPL_OVERRIDE[0] = impl
+
+
 def _resolve_impl(impl: Impl, K, N) -> str:
     if impl == "auto":
+        if _IMPL_OVERRIDE[0] is not None:
+            impl = _IMPL_OVERRIDE[0]
+            if impl != "pallas":
+                return impl
         return "pallas" if _supports_pallas_tiles(K, N) else "xla"
     return impl
 
