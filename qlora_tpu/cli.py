@@ -1,0 +1,426 @@
+"""CLI + train/eval/predict driver — the qlora.py `train()` equivalent.
+
+Flag surface mirrors the reference's four dataclasses
+(/root/reference/qlora.py:78-246) with the same names and defaults, but
+unknown flags are **errors** (the reference silently swallowed them via
+``parse_args_into_dataclasses(return_remaining_strings=True)``,
+qlora.py:693 — a footgun SURVEY.md flags for fixing).
+
+Orchestration parity (qlora.py:688-838): resume detection → model build →
+data module → train loop (logging/save cadence, MMLU callback) → eval →
+predict (generate → predictions.jsonl) → metrics.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import logging
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+logger = logging.getLogger("qlora_tpu")
+
+
+@dataclasses.dataclass
+class Args:
+    # ModelArguments (qlora.py:78-90)
+    model_name_or_path: str = "EleutherAI/pythia-12b"
+    trust_remote_code: bool = False
+    use_auth_token: bool = False
+    # DataArguments (qlora.py:92-126)
+    eval_dataset_size: int = 1024
+    max_train_samples: Optional[int] = None
+    max_eval_samples: Optional[int] = None
+    source_max_len: int = 1024
+    target_max_len: int = 256
+    dataset: str = "alpaca"
+    dataset_format: Optional[str] = None
+    # TrainingArguments (qlora.py:128-214)
+    output_dir: str = "./output"
+    train_on_source: bool = False
+    mmlu_split: str = "eval"
+    mmlu_dataset: str = "mmlu-fs"
+    do_mmlu_eval: bool = False
+    max_mmlu_samples: Optional[int] = None
+    mmlu_source_max_len: int = 2048
+    full_finetune: bool = False
+    adam8bit: bool = False
+    double_quant: bool = True
+    quant_type: str = "nf4"
+    bits: int = 4
+    lora_r: int = 64
+    lora_alpha: float = 16.0
+    lora_dropout: float = 0.0
+    max_memory_MB: int = 80000
+    report_to: str = "none"
+    optim: str = "paged_adamw_32bit"
+    per_device_train_batch_size: int = 1
+    per_device_eval_batch_size: int = 1
+    gradient_accumulation_steps: int = 16
+    max_steps: int = 10000
+    weight_decay: float = 0.0
+    learning_rate: float = 2e-4
+    max_grad_norm: float = 0.3
+    gradient_checkpointing: bool = True
+    do_train: bool = True
+    do_eval: bool = False
+    do_predict: bool = False
+    lr_scheduler_type: str = "constant"
+    warmup_ratio: float = 0.03
+    logging_steps: int = 10
+    group_by_length: bool = True
+    save_strategy: str = "steps"
+    save_steps: int = 250
+    save_total_limit: int = 40
+    eval_steps: Optional[int] = None
+    seed: int = 0
+    predict_with_generate: bool = False
+    # GenerationArguments (qlora.py:216-246)
+    max_new_tokens: int = 256
+    min_new_tokens: Optional[int] = None
+    do_sample: bool = False
+    num_beams: int = 1
+    temperature: float = 1.0
+    top_k: int = 50
+    top_p: float = 1.0
+    repetition_penalty: float = 1.0
+    # TPU-framework extensions (not in the reference)
+    mmlu_data_path: Optional[str] = None      # path to zero/five-shot json
+    init_random: bool = False                 # random weights (tests/bench)
+    fake_tokenizer: bool = False              # byte tokenizer (tests)
+    mesh_dp: int = 1
+    mesh_fsdp: int = 1
+    mesh_tp: int = 1
+
+
+def _str2bool(v: str) -> bool:
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("true", "1", "yes"):
+        return True
+    if v.lower() in ("false", "0", "no"):
+        return False
+    raise argparse.ArgumentTypeError(f"expected bool, got {v!r}")
+
+
+def parse_args(argv=None) -> Args:
+    p = argparse.ArgumentParser("qlora_tpu", allow_abbrev=False)
+    for f in dataclasses.fields(Args):
+        t = f.type
+        opt = f"--{f.name}"
+        if t in ("bool", bool):
+            p.add_argument(opt, type=_str2bool, nargs="?", const=True,
+                           default=f.default)
+        elif t in ("Optional[int]",):
+            p.add_argument(opt, type=int, default=f.default)
+        elif t in ("Optional[str]",):
+            p.add_argument(opt, type=str, default=f.default)
+        elif t in ("int", int):
+            p.add_argument(opt, type=int, default=f.default)
+        elif t in ("float", float):
+            p.add_argument(opt, type=float, default=f.default)
+        else:
+            p.add_argument(opt, type=str, default=f.default)
+    ns = p.parse_args(argv)  # unknown flags → argparse error (strict)
+    return Args(**vars(ns))
+
+
+def build_model_and_tokenizer(args: Args):
+    """get_accelerate_model equivalent (qlora.py:289-445)."""
+    import jax
+
+    from qlora_tpu.lora import LoraConfig
+    from qlora_tpu.models import get_config, init_lora_params, init_params
+
+    lcfg = LoraConfig(r=args.lora_r, alpha=args.lora_alpha,
+                      dropout=args.lora_dropout)
+    quantize_base = args.bits == 4 and not args.full_finetune
+    if args.bits not in (4, 16, 32):
+        raise ValueError(f"bits={args.bits} not supported (4, 16, 32)")
+
+    if not args.init_random and os.path.isdir(args.model_name_or_path):
+        from qlora_tpu.utils.hf_import import load_hf_model
+
+        params, cfg = load_hf_model(
+            args.model_name_or_path,
+            quantize_base=quantize_base,
+            quant_type=args.quant_type,
+            double_quant=args.double_quant,
+        )
+    else:
+        cfg = get_config(args.model_name_or_path)
+        params = init_params(
+            jax.random.PRNGKey(args.seed), cfg, quantized=quantize_base
+        )
+
+    if args.fake_tokenizer:
+        from tests.test_data import FakeTokenizer  # byte-level, test-only
+
+        tokenizer = FakeTokenizer()
+    else:
+        from qlora_tpu.utils.tokenizer import load_tokenizer
+
+        tokenizer, _ = load_tokenizer(args.model_name_or_path)
+
+    lora = None
+    if not args.full_finetune:
+        lora = init_lora_params(jax.random.PRNGKey(args.seed + 1), cfg, lcfg)
+    return params, lora, cfg, lcfg, tokenizer
+
+
+def _iter_batches(examples, collator, batch_size, accum, seed, group_by_length,
+                  tokenizer, max_len):
+    """Yields stacked [accum, bs, S] batches forever (cycling epochs)."""
+    from qlora_tpu.train.collator import bucket_batches, example_length
+
+    epoch = 0
+    while True:
+        if group_by_length:
+            lengths = [example_length(tokenizer, e) for e in examples]
+            buckets = [b for b in (64, 128, 256, 512, 1024, 2048, 4096) if b <= max_len]
+            buckets = buckets or [max_len]
+            if buckets[-1] != max_len:
+                buckets.append(max_len)
+            plan = bucket_batches(lengths, batch_size, buckets, seed=seed + epoch)
+        else:
+            rng = np.random.default_rng(seed + epoch)
+            order = rng.permutation(len(examples))
+            plan = [
+                (order[i : i + batch_size].tolist(), max_len)
+                for i in range(0, len(examples), batch_size)
+            ]
+        group, glen = [], None
+        for idx, blen in plan:
+            if len(idx) < batch_size:
+                continue  # keep shapes static
+            if glen is not None and blen != glen and group:
+                group = []  # accum groups must share one bucket length
+            glen = blen
+            collator.pad_to = blen
+            group.append(collator([examples[i] for i in idx]))
+            if len(group) == accum:
+                out = {
+                    k: np.stack([g[k] for g in group]) for k in group[0]
+                }
+                if accum == 1:
+                    out = {k: v[0] for k, v in out.items()}
+                yield out
+                group = []
+        epoch += 1
+
+
+def train(args: Args) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from qlora_tpu.train import (
+        init_train_state, make_eval_step, make_optimizer, make_train_step,
+    )
+    from qlora_tpu.train.collator import CausalCollator
+    from qlora_tpu.train.data import make_dataset
+    from qlora_tpu.utils.checkpoint import (
+        get_last_checkpoint, load_checkpoint, mark_completed, save_checkpoint,
+    )
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    all_metrics = {"run_name": args.output_dir}
+
+    ckpt_dir, completed = get_last_checkpoint(args.output_dir)
+    if completed:
+        logger.info("training already completed; skipping")
+        return all_metrics
+
+    params, lora, cfg, lcfg, tokenizer = build_model_and_tokenizer(args)
+    mode = "full" if args.full_finetune else "lora"
+    trainable = params if args.full_finetune else lora
+
+    from qlora_tpu.lora import count_lora_params
+
+    n_train = count_lora_params(trainable)
+    n_total = sum(x.size for x in jax.tree_util.tree_leaves(params)
+                  if hasattr(x, "size"))
+    logger.info(
+        "trainable params: %d || all params: %d || trainable: %.4f%%",
+        n_train, n_total, 100.0 * n_train / max(n_total, 1),
+    )
+
+    opt_name = "adam8bit" if args.adam8bit else args.optim
+    optimizer = make_optimizer(
+        opt_name, args.learning_rate, total_steps=args.max_steps,
+        warmup_ratio=args.warmup_ratio, weight_decay=args.weight_decay,
+        max_grad_norm=args.max_grad_norm,
+    )
+    state = init_train_state(trainable, optimizer)
+    start_step = 0
+    if ckpt_dir is not None:
+        loaded, opt_state, info = load_checkpoint(
+            ckpt_dir, trainable, state.opt_state
+        )
+        state = state.replace(
+            trainable=loaded,
+            opt_state=opt_state if opt_state is not None else state.opt_state,
+            step=jnp.asarray(info.get("step", 0), jnp.int32),
+        )
+        start_step = int(info.get("step", 0))
+        logger.info("resumed from %s at step %d", ckpt_dir, start_step)
+
+    collator = CausalCollator(
+        tokenizer,
+        source_max_len=args.source_max_len,
+        target_max_len=args.target_max_len,
+        train_on_source=args.train_on_source,
+    )
+
+    metrics_hist = []
+    if args.do_train and start_step < args.max_steps:
+        train_ds, eval_ds = make_dataset(
+            args.dataset,
+            do_eval=args.do_eval or args.do_predict,
+            eval_dataset_size=args.eval_dataset_size,
+            max_train_samples=args.max_train_samples,
+            max_eval_samples=args.max_eval_samples,
+            seed=42,
+        )
+        step_fn = make_train_step(
+            cfg, lcfg, optimizer,
+            accum_steps=args.gradient_accumulation_steps,
+            donate=False, mode=mode,
+        )
+        max_len = args.source_max_len + args.target_max_len
+        batches = _iter_batches(
+            train_ds, collator, args.per_device_train_batch_size,
+            args.gradient_accumulation_steps, args.seed,
+            args.group_by_length, tokenizer, max_len,
+        )
+        rng = jax.random.PRNGKey(args.seed)
+        t0 = time.time()
+        for step in range(start_step, args.max_steps):
+            batch = next(batches)
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            rng, sub = jax.random.split(rng)
+            state, m = step_fn(state, params, batch, sub)
+            if (step + 1) % args.logging_steps == 0:
+                loss = float(m["loss"])
+                dt = (time.time() - t0) / args.logging_steps
+                logger.info("step %d: loss %.4f (%.2fs/step)", step + 1, loss, dt)
+                metrics_hist.append({"step": step + 1, "loss": loss,
+                                     "seconds_per_step": dt})
+                t0 = time.time()
+            if args.save_strategy == "steps" and (step + 1) % args.save_steps == 0:
+                save_checkpoint(args.output_dir, step + 1, state.trainable,
+                                state.opt_state)
+            if args.do_mmlu_eval and args.eval_steps and (step + 1) % args.eval_steps == 0:
+                all_metrics.update(_run_mmlu(args, params, state, cfg, lcfg,
+                                             tokenizer, mode))
+        save_checkpoint(args.output_dir, args.max_steps, state.trainable,
+                        state.opt_state)
+        mark_completed(args.output_dir)
+        all_metrics["train_metrics"] = metrics_hist
+
+    if args.do_eval:
+        _, eval_ds = make_dataset(
+            args.dataset, do_eval=True, eval_dataset_size=args.eval_dataset_size,
+            max_eval_samples=args.max_eval_samples, seed=42,
+        )
+        ev = make_eval_step(cfg, lcfg, mode=mode)
+        tot, n_tot = 0.0, 0
+        bs = max(args.per_device_eval_batch_size, 1)
+        for i in range(0, len(eval_ds) - bs + 1, bs):
+            collator.pad_to = args.source_max_len + args.target_max_len
+            b = collator(eval_ds[i : i + bs])
+            b = {k: jnp.asarray(v) for k, v in b.items()}
+            loss, n = ev(state.trainable, params, b)
+            tot += float(loss) * int(n)
+            n_tot += int(n)
+        all_metrics["eval_loss"] = tot / max(n_tot, 1)
+        logger.info("eval_loss: %.4f", all_metrics["eval_loss"])
+
+    if args.do_mmlu_eval and args.mmlu_data_path:
+        all_metrics.update(
+            _run_mmlu(args, params, state, cfg, lcfg, tokenizer, mode)
+        )
+
+    if args.do_predict:
+        all_metrics.update(
+            _run_predict(args, params, state, cfg, lcfg, tokenizer, collator, mode)
+        )
+
+    with open(os.path.join(args.output_dir, "metrics.json"), "w") as f:
+        json.dump(all_metrics, f, indent=2)
+    return all_metrics
+
+
+def _run_mmlu(args, params, state, cfg, lcfg, tokenizer, mode):
+    from qlora_tpu.eval import evaluate_mmlu, load_mmlu_file
+
+    if not args.mmlu_data_path:
+        logger.warning("do_mmlu_eval set but no --mmlu_data_path; skipping")
+        return {}
+    examples = load_mmlu_file(args.mmlu_data_path, args.max_mmlu_samples)
+    lora = state.trainable if mode == "lora" else None
+    base = params if mode == "lora" else state.trainable
+    res = evaluate_mmlu(
+        base, lora, cfg, tokenizer, examples, lcfg=lcfg,
+        batch_size=max(args.per_device_eval_batch_size, 1),
+        source_max_len=args.mmlu_source_max_len,
+    )
+    logger.info("MMLU accuracy: %.4f", res.get("mmlu_eval_accuracy", 0.0))
+    return res
+
+
+def _run_predict(args, params, state, cfg, lcfg, tokenizer, collator, mode):
+    import jax
+    import jax.numpy as jnp
+
+    from qlora_tpu.generate import SamplingParams, generate
+    from qlora_tpu.train.data import make_dataset
+
+    _, predict_ds = make_dataset(
+        args.dataset, do_eval=True, eval_dataset_size=args.eval_dataset_size,
+        max_eval_samples=args.max_eval_samples, seed=42,
+    )
+    collator.predict_with_generate = True
+    collator.pad_to = args.source_max_len
+    sp = SamplingParams(
+        do_sample=args.do_sample, temperature=args.temperature,
+        top_k=args.top_k, top_p=args.top_p,
+        repetition_penalty=args.repetition_penalty,
+    )
+    lora = state.trainable if mode == "lora" else None
+    base = params if mode == "lora" else state.trainable
+    bs = max(args.per_device_eval_batch_size, 1)
+    out_path = os.path.join(args.output_dir, "predictions.jsonl")
+    with open(out_path, "w") as f:
+        for i in range(0, len(predict_ds) - bs + 1, bs):
+            chunk = predict_ds[i : i + bs]
+            b = collator(chunk)
+            ids = jnp.asarray(b["input_ids"])
+            lengths = jnp.asarray(b["attention_mask"].sum(-1))
+            toks = generate(
+                base, lora, ids, lengths, cfg, lcfg,
+                max_new_tokens=args.max_new_tokens,
+                eos_id=tokenizer.eos_token_id, sparams=sp,
+                rng=jax.random.PRNGKey(args.seed),
+            )
+            for ex, row in zip(chunk, np.asarray(toks)):
+                text = tokenizer.decode(
+                    [t for t in row.tolist() if t != tokenizer.eos_token_id]
+                )
+                f.write(json.dumps({**ex, "prediction": text}) + "\n")
+    logger.info("wrote %s", out_path)
+    return {"predictions_path": out_path}
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    args = parse_args(argv)
+    return train(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,87 @@
+"""Benchmark-only kernel wrappers.
+
+The dispatch path on the dev box (axon relay) caches identical execute
+requests and adds high per-call latency, so single-kernel wall-clock is
+meaningless.  ``qmm_repeat`` runs the production fwd kernel body under an
+extra leading grid dimension that repeats the whole computation R times in
+ONE dispatch: device time dominates RPC noise and inputs stay fresh via a
+caller-supplied counter.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from qlora_tpu.quant.codebooks import CODEBOOKS
+from qlora_tpu.ops.qmatmul import _pick_tile, _use_interpret
+
+
+@functools.partial(
+    jax.jit, static_argnames=("shape", "block_size", "quant_type", "reps")
+)
+def qmm_repeat(x, packed, am, shape, block_size, quant_type, reps=64):
+    """y = x @ dequant(packed, am), computed `reps` times in one pallas call."""
+    K, N = shape
+    K2 = K // 2
+    M = x.shape[0]
+    code = CODEBOOKS[quant_type]
+
+    TKp = _pick_tile(K2, (512, 256, 128))
+    TN = 128
+    x = x.astype(jnp.bfloat16)
+    TM = _pick_tile(M, (256, 128, 64, 32, 16))
+
+    grid = (reps, M // TM, N // TN, K2 // TKp)
+    nb = TKp // block_size
+    koff = K2 // TKp
+    am_rows = K // block_size
+    tab = jnp.tile(jnp.asarray(code)[None, :], (TKp, TN // 16))
+
+    def kernel(xl_ref, xh_ref, p_ref, am_ref, tab_ref, o_ref, acc_ref):
+        # same body as the production fwd kernel; the leading repeat grid
+        # dimension is ignored everywhere
+        k = pl.program_id(3)
+
+        @pl.when(k == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        p32 = p_ref[:].astype(jnp.int32)
+        low = p32 & 0x0F
+        high = p32 >> 4
+        aml = am_ref[pl.ds(k * nb, nb), :]
+        amh = am_ref[pl.ds(am_rows // 2 + k * nb, nb), :]
+        vl = jnp.take_along_axis(tab_ref[:], low, axis=1)
+        vh = jnp.take_along_axis(tab_ref[:], high, axis=1)
+        r, c = vl.shape
+        wl = (vl.reshape(r // block_size, block_size, c) * aml[:, None, :]).reshape(r, c)
+        wh = (vh.reshape(r // block_size, block_size, c) * amh[:, None, :]).reshape(r, c)
+        acc_ref[:] += jnp.dot(xl_ref[:], wl.astype(jnp.bfloat16),
+                              preferred_element_type=jnp.float32)
+        acc_ref[:] += jnp.dot(xh_ref[:], wh.astype(jnp.bfloat16),
+                              preferred_element_type=jnp.float32)
+
+        @pl.when(k == pl.num_programs(3) - 1)
+        def _():
+            o_ref[:] = acc_ref[:].astype(jnp.bfloat16)
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TM, TKp), lambda r, i, j, k: (i, k)),
+            pl.BlockSpec((TM, TKp), lambda r, i, j, k: (i, k + koff)),
+            pl.BlockSpec((TKp, TN), lambda r, i, j, k: (k, j)),
+            pl.BlockSpec((am_rows, TN), lambda r, i, j, k: (0, j)),
+            pl.BlockSpec((TKp, TN), lambda r, i, j, k: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((TM, TN), lambda r, i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((TM, TN), jnp.float32)],
+        interpret=_use_interpret(),
+    )(x, x, packed, am, tab)

@@ -30,9 +30,13 @@ class TrainState:
     opt_state: Any
 
 
-def loss_fn(trainable, frozen, batch, cfg, lcfg, rng, train):
+def loss_fn(trainable, frozen, batch, cfg, lcfg, rng, train, mode="lora"):
+    if mode == "lora":
+        params, lora = frozen, trainable
+    else:  # full finetune (qlora.py:157-160): the whole model is trainable
+        params, lora = trainable, None
     logits, _ = forward(
-        frozen, trainable, batch["input_ids"], cfg, lcfg,
+        params, lora, batch["input_ids"], cfg, lcfg,
         attn_mask=batch.get("attention_mask"),
         rng=rng, remat=train,
     )
@@ -47,17 +51,19 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     accum_steps: int = 1,
     donate: bool = True,
+    mode: str = "lora",
 ):
     """Returns train_step(state, frozen_params, batch, rng) -> (state, metrics).
 
     batch leaves are [accum_steps, micro_bs, S] when accum_steps > 1, else
     [bs, S].  Gradients are averaged over microbatches inside one jit.
+    In mode="full" the frozen_params argument is ignored.
     """
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def one_micro(trainable, frozen, mb, rng):
-        (loss, n), grads = grad_fn(trainable, frozen, mb, cfg, lcfg, rng, True)
+        (loss, n), grads = grad_fn(trainable, frozen, mb, cfg, lcfg, rng, True, mode)
         return loss, n, grads
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
@@ -96,11 +102,11 @@ def make_train_step(
     return train_step
 
 
-def make_eval_step(cfg: ModelConfig, lcfg: LoraConfig):
+def make_eval_step(cfg: ModelConfig, lcfg: LoraConfig, mode: str = "lora"):
     @jax.jit
     def eval_step(trainable, frozen, batch):
         loss, n = loss_fn(trainable, frozen, batch, cfg, lcfg,
-                          jax.random.PRNGKey(0), False)
+                          jax.random.PRNGKey(0), False, mode)
         return loss, n
 
     return eval_step

@@ -1,0 +1,117 @@
+"""End-to-end slice (BASELINE.json config 1 pattern): quantized model +
+LoRA, N finetune steps with falling loss, greedy decode, resume — all
+through the CLI driver on CPU."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from qlora_tpu.cli import Args, train
+
+
+def _write_alpaca(tmp_path, n=64):
+    rows = [
+        {"input": f"Repeat the word apple {i} times.", "output": "apple " * 3}
+        for i in range(n)
+    ]
+    p = tmp_path / "data.json"
+    p.write_text(json.dumps(rows))
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def run_dir(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("e2e")
+    data = _write_alpaca(tmp)
+    out = str(tmp / "out")
+    args = Args(
+        model_name_or_path="debug-neox",
+        init_random=True,
+        fake_tokenizer=True,
+        dataset=data,
+        output_dir=out,
+        max_steps=10,
+        per_device_train_batch_size=4,
+        gradient_accumulation_steps=1,
+        learning_rate=5e-3,
+        lora_r=8,
+        source_max_len=48,
+        target_max_len=24,
+        logging_steps=1,
+        save_steps=5,
+        group_by_length=True,
+        do_train=True,
+        do_eval=True,
+        do_predict=True,
+        eval_dataset_size=8,
+        max_eval_samples=4,
+        per_device_eval_batch_size=2,
+        max_new_tokens=8,
+        seed=0,
+    )
+    metrics = train(args)
+    return out, metrics
+
+
+def test_loss_decreases(run_dir):
+    _, metrics = run_dir
+    hist = metrics["train_metrics"]
+    assert len(hist) == 10
+    assert hist[-1]["loss"] < hist[0]["loss"], hist
+
+
+def test_checkpoints_written(run_dir):
+    out, _ = run_dir
+    assert os.path.isdir(os.path.join(out, "checkpoint-5", "adapter_model"))
+    assert os.path.isdir(os.path.join(out, "checkpoint-10", "adapter_model"))
+    assert os.path.exists(os.path.join(out, "checkpoint-10", "optimizer_state.npz"))
+    assert os.path.exists(os.path.join(out, "completed"))
+
+
+def test_eval_and_predictions(run_dir):
+    out, metrics = run_dir
+    assert np.isfinite(metrics["eval_loss"])
+    preds = [json.loads(l) for l in open(os.path.join(out, "predictions.jsonl"))]
+    assert len(preds) >= 2
+    assert all("prediction" in p for p in preds)
+
+
+def test_metrics_json(run_dir):
+    out, _ = run_dir
+    m = json.load(open(os.path.join(out, "metrics.json")))
+    assert "train_metrics" in m and "eval_loss" in m
+
+
+def test_completed_run_skips_retrain(run_dir):
+    out, _ = run_dir
+    args = Args(
+        model_name_or_path="debug-neox", init_random=True, fake_tokenizer=True,
+        dataset="unused", output_dir=out, max_steps=10,
+    )
+    m2 = train(args)  # completed sentinel → no training attempted
+    assert "train_metrics" not in m2
+
+
+def test_strict_unknown_flag_errors():
+    from qlora_tpu.cli import parse_args
+    with pytest.raises(SystemExit):
+        parse_args(["--definitely_not_a_flag", "1"])
+
+
+def test_resume_from_checkpoint(tmp_path):
+    data = _write_alpaca(tmp_path)
+    out = str(tmp_path / "resume_out")
+    base = dict(
+        model_name_or_path="debug-neox", init_random=True, fake_tokenizer=True,
+        dataset=data, output_dir=out, per_device_train_batch_size=2,
+        gradient_accumulation_steps=1, lora_r=4, source_max_len=32,
+        target_max_len=16, logging_steps=1, save_steps=3, group_by_length=False,
+    )
+    train(Args(max_steps=3, **base))
+    # remove sentinel to simulate an interrupted longer run
+    os.remove(os.path.join(out, "completed"))
+    m = train(Args(max_steps=6, **base))
+    steps = [h["step"] for h in m["train_metrics"]]
+    assert steps == [4, 5, 6]  # resumed at 3, not restarted

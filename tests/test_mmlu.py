@@ -1,0 +1,49 @@
+"""MMLU evaluator tests with the byte-level fake tokenizer."""
+
+import json
+
+import numpy as np
+import jax
+
+from qlora_tpu.eval import abcd_token_ids, evaluate_mmlu, load_mmlu_file
+from qlora_tpu.lora import LoraConfig
+from qlora_tpu.models import get_config, init_params
+
+from tests.test_data import FakeTokenizer
+
+
+def test_abcd_ids_distinct():
+    tok = FakeTokenizer()
+    ids = abcd_token_ids(tok)
+    assert len(set(ids)) == 4
+
+
+def test_load_mmlu_file_list_and_columnar(tmp_path):
+    rows = [{"subject": "math", "input": "Q", "output": "A"}] * 3
+    p = tmp_path / "l.json"
+    p.write_text(json.dumps(rows))
+    assert load_mmlu_file(str(p)) == rows
+    cols = {"subject": ["math", "cs"], "input": ["Q1", "Q2"], "output": ["A", "B"]}
+    p2 = tmp_path / "c.json"
+    p2.write_text(json.dumps(cols))
+    got = load_mmlu_file(str(p2))
+    assert got[1] == {"subject": "cs", "input": "Q2", "output": "B"}
+    assert load_mmlu_file(str(p), max_samples=2) == rows[:2]
+
+
+def test_evaluate_mmlu_runs_and_scores():
+    cfg = get_config("debug")
+    params = init_params(jax.random.PRNGKey(0), cfg, quantized=True)
+    tok = FakeTokenizer()
+    examples = [
+        {"subject": "s1", "input": "Which letter? Answer:", "output": "A"},
+        {"subject": "s1", "input": "Pick one. Answer:", "output": "B"},
+        {"subject": "s2", "input": "Choose. Answer:", "output": "C"},
+    ]
+    res = evaluate_mmlu(
+        params, None, cfg, tok, examples,
+        lcfg=LoraConfig(r=4), batch_size=2, source_max_len=64,
+    )
+    assert "mmlu_loss" in res and np.isfinite(res["mmlu_loss"])
+    assert "mmlu_eval_accuracy_s1" in res and "mmlu_eval_accuracy_s2" in res
+    assert 0.0 <= res["mmlu_eval_accuracy"] <= 1.0
