@@ -80,8 +80,13 @@ def _block_linear(block, lora, name, x, lcfg: LoraConfig, rng):
     return y
 
 
-def _attn(cfg, block, lora, lcfg, x, cos, sin, mask, cache_kv, pos, rng):
-    """Attention sub-block. cache_kv: None or (k_buf, v_buf) [B, T, KVH, hd]."""
+def _attn(cfg, block, lora, lcfg, x, cos, sin, mask, cache_kv, pos, rng,
+          flash_lengths=None):
+    """Attention sub-block. cache_kv: None or (k_buf, v_buf) [B, T, KVH, hd].
+
+    flash_lengths: [B] valid-key lengths — when set (and no cache), attention
+    runs through the Pallas flash kernel instead of the jnp path.
+    """
     B, S, D = x.shape
     H, KVH, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     rotary_dim = int(cfg.rotary_pct * hd) // 2 * 2
@@ -110,6 +115,22 @@ def _attn(cfg, block, lora, lcfg, x, cos, sin, mask, cache_kv, pos, rng):
         )(v_buf, v, pos[:, 0])
         attn_out = attention(q, k_buf, v_buf, mask)
         new_cache = (k_buf, v_buf)
+    elif flash_lengths is not None:
+        from qlora_tpu.ops.flash_attention import flash_attention
+
+        if KVH != H:
+            k = jnp.repeat(k, H // KVH, axis=2)
+            v = jnp.repeat(v, H // KVH, axis=2)
+        qh = jnp.transpose(q, (0, 2, 1, 3))  # [B, H, S, hd]
+        kh = jnp.transpose(k, (0, 2, 1, 3))
+        vh = jnp.transpose(v, (0, 2, 1, 3))
+        oh = flash_attention(
+            qh.astype(jnp.bfloat16), kh.astype(jnp.bfloat16),
+            vh.astype(jnp.bfloat16), flash_lengths,
+            1.0 / (hd ** 0.5), True,
+        )
+        attn_out = jnp.transpose(oh, (0, 2, 1, 3))
+        new_cache = None
     else:
         attn_out = attention(q, k, v, mask)
         new_cache = None
@@ -132,17 +153,20 @@ def _mlp(cfg, block, lora, lcfg, x, rng):
     return _block_linear(block, lora, "w_out", h, lcfg, rng)
 
 
-def block_forward(cfg, lcfg, x, block, lora, cos, sin, mask, cache_kv, pos, rng):
+def block_forward(cfg, lcfg, x, block, lora, cos, sin, mask, cache_kv, pos, rng,
+                  flash_lengths=None):
     """One transformer block. Returns (x, new_cache_kv)."""
     if cfg.arch == "llama":
         h = rms_norm(x, block["attn_norm"], cfg.norm_eps)
-        a, new_cache = _attn(cfg, block, lora, lcfg, h, cos, sin, mask, cache_kv, pos, rng)
+        a, new_cache = _attn(cfg, block, lora, lcfg, h, cos, sin, mask, cache_kv,
+                             pos, rng, flash_lengths)
         x = x + a
         h2 = rms_norm(x, block["mlp_norm"], cfg.norm_eps)
         x = x + _mlp(cfg, block, lora, lcfg, h2, rng)
     else:
         h1 = layer_norm(x, block["ln1"]["scale"], block["ln1"]["bias"], cfg.norm_eps)
-        a, new_cache = _attn(cfg, block, lora, lcfg, h1, cos, sin, mask, cache_kv, pos, rng)
+        a, new_cache = _attn(cfg, block, lora, lcfg, h1, cos, sin, mask, cache_kv,
+                             pos, rng, flash_lengths)
         if cfg.use_parallel_residual:
             h2 = layer_norm(x, block["ln2"]["scale"], block["ln2"]["bias"], cfg.norm_eps)
             x = x + a + _mlp(cfg, block, lora, lcfg, h2, rng)
@@ -170,6 +194,7 @@ def forward(
     cache: Optional[dict] = None,            # {"k","v": [L,B,T,KVH,hd], "length": [B]}
     rng: Optional[jax.Array] = None,
     remat: bool = False,
+    use_flash: str = "auto",   # "auto" | "never" | "always"
 ) -> tuple[jax.Array, Optional[dict]]:
     """Returns (logits [B, S, V] f32, updated cache or None)."""
     B, S = ids.shape
@@ -202,11 +227,28 @@ def forward(
         rng = jax.random.PRNGKey(0)
     layer_rngs = jax.random.split(rng, cfg.num_layers)
 
+    # flash kernel: training/prefill only, 128-aligned seq, lane-friendly head
+    flash_ok = (
+        cache is None
+        and use_flash != "never"
+        and S % 128 == 0
+        and cfg.head_dim % 64 == 0
+    )
+    if use_flash == "always":
+        flash_ok = cache is None
+    flash_lengths = None
+    if flash_ok:
+        if attn_mask is not None:
+            flash_lengths = attn_mask.astype(jnp.int32).sum(-1)
+        else:
+            flash_lengths = jnp.full((B,), S, jnp.int32)
+
     blk = functools.partial(block_forward, cfg, lcfg)
 
     def scan_body(x, per_layer):
         block, lora_l, cache_l, rng_l = per_layer
-        xo, new_cache = blk(x, block, lora_l, cos, sin, mask, cache_l, positions, rng_l)
+        xo, new_cache = blk(x, block, lora_l, cos, sin, mask, cache_l, positions,
+                            rng_l, flash_lengths)
         return xo, new_cache
 
     body = jax.checkpoint(scan_body) if remat else scan_body
@@ -223,7 +265,8 @@ def forward(
     else:
         def body_nc(x, per_layer):
             block, lora_l, rng_l = per_layer
-            xo, _ = blk(x, block, lora_l, cos, sin, mask, None, positions, rng_l)
+            xo, _ = blk(x, block, lora_l, cos, sin, mask, None, positions, rng_l,
+                        flash_lengths)
             return xo, None
         body_nc = jax.checkpoint(body_nc) if remat else body_nc
         x, _ = jax.lax.scan(body_nc, x, (params["blocks"], lora, layer_rngs))

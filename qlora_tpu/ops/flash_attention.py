@@ -1,0 +1,381 @@
+"""Flash attention for TPU — online-softmax tiled kernel with custom VJP.
+
+Built from scratch per the TPU kernel playbook (blockwise tiling, fp32
+softmax statistics in VMEM scratch, causal tile-skip, −0.7·f32max mask
+value).  The reference framework has no attention kernel of its own (it
+inherits torch SDPA from transformers); this is the TPU-native hot-path
+replacement, used by qlora_tpu.models when sequences are long enough to
+benefit.
+
+Layout: q [B, H, Sq, D], k/v [B, H, Skv, D] (heads leading — each (b, h)
+grid cell is an independent attention problem; GQA is handled by the caller
+repeating KV heads or by head-grouping before the call).
+
+Backward follows the standard two-kernel scheme (dq kernel + dkv kernel)
+with l/m residuals and di = Σ o·do precomputed.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
+MIN_BLOCK = 128
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _pick(n, cands=(512, 256, 128)):
+    for c in cands:
+        if n % c == 0:
+            return c
+    return n
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    q_ref, k_ref, v_ref, kvlen_ref, o_ref, l_ref, m_ref,
+    m_scr, l_scr, acc_scr,
+    *, sm_scale, causal, block_q, block_k, kv_len,
+):
+    """Grid (B, H, Sq/block_q, Skv/block_k); online softmax over kv tiles."""
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    # causal tile skip: run only if some column in this kv tile is <= some row
+    run = True
+    if causal:
+        run = (qi + 1) * block_q - 1 >= ki * block_k
+
+    @pl.when(run)
+    def _():
+        q = q_ref[0, 0].astype(jnp.float32) * sm_scale        # [bq, d]
+        k = k_ref[0, 0].astype(jnp.float32)                   # [bk, d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )                                                     # [bq, bk]
+
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+        mask = col < kvlen_ref[0, 0]                             # padding mask
+        if causal:
+            mask = mask & (col <= row)
+        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+        m_prev, l_prev = m_scr[:], l_scr[:]
+        m_curr = jnp.max(s, axis=1, keepdims=True)            # [bq, 1]
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[:] = m_next
+        l_scr[:] = l_next
+
+        v = v_ref[0, 0].astype(jnp.float32)                   # [bk, d]
+        acc_scr[:] = acc_scr[:] * alpha + jnp.dot(
+            p, v, preferred_element_type=jnp.float32
+        )
+
+    @pl.when(ki == pl.num_programs(3) - 1)
+    def _():
+        l = l_scr[:]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scr[:] * l_inv).astype(o_ref.dtype)
+        l_ref[0, 0] = l[:, 0]
+        m_ref[0, 0] = m_scr[:][:, 0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sm_scale", "causal", "block_q", "block_k")
+)
+def _flash_fwd(q, k, v, kv_lengths, sm_scale, causal, block_q, block_k):
+    B, H, Sq, D = q.shape
+    Skv = k.shape[2]
+    bq = min(block_q, _pick(Sq))
+    bk = min(block_k, _pick(Skv))
+    grid = (B, H, Sq // bq, Skv // bk)
+
+    out, l, m = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel, sm_scale=sm_scale, causal=causal,
+            block_q=bq, block_k=bk, kv_len=Skv,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, bk, D), lambda b, h, i, j: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, bk, D), lambda b, h, i, j: (b, h, j, 0)),
+            pl.BlockSpec((1, 1), lambda b, h, i, j: (b, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, bq), lambda b, h, i, j: (b, h, i)),
+            pl.BlockSpec((1, 1, bq), lambda b, h, i, j: (b, h, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, Sq, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, Sq), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, Sq), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, D), jnp.float32),
+        ],
+        interpret=_use_interpret(),
+    )(q, k, v, kv_lengths.reshape(-1, 1))
+    return out, l, m
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dq_kernel(
+    q_ref, k_ref, v_ref, kvlen_ref, do_ref, l_ref, m_ref, di_ref, dq_ref,
+    dq_scr,
+    *, sm_scale, causal, block_q, block_k,
+):
+    """dq: grid (B, H, Sq/bq, Skv/bk), accumulate over kv tiles."""
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    run = True
+    if causal:
+        run = (qi + 1) * block_q - 1 >= ki * block_k
+
+    @pl.when(run)
+    def _():
+        q = q_ref[0, 0].astype(jnp.float32) * sm_scale
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+        mask = col < kvlen_ref[0, 0]
+        if causal:
+            mask = mask & (col <= row)
+        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+        m = m_ref[0, 0][:, None]
+        l = l_ref[0, 0][:, None]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        p = jnp.exp(s - m) * l_inv                             # softmax probs
+        do = do_ref[0, 0].astype(jnp.float32)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        di = di_ref[0, 0][:, None]
+        ds = p * (dp - di) * sm_scale
+        dq_scr[:] += jnp.dot(ds, k, preferred_element_type=jnp.float32)
+
+    @pl.when(ki == pl.num_programs(3) - 1)
+    def _():
+        dq_ref[0, 0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, kvlen_ref, do_ref, l_ref, m_ref, di_ref,
+    dk_ref, dv_ref, dk_scr, dv_scr,
+    *, sm_scale, causal, block_q, block_k,
+):
+    """dk/dv: grid (B, H, Skv/bk, Sq/bq), accumulate over q tiles."""
+    ki = pl.program_id(2)
+    qi = pl.program_id(3)
+
+    @pl.when(qi == 0)
+    def _():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    run = True
+    if causal:
+        run = (qi + 1) * block_q - 1 >= ki * block_k
+
+    @pl.when(run)
+    def _():
+        q = q_ref[0, 0].astype(jnp.float32) * sm_scale
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+        mask = col < kvlen_ref[0, 0]
+        if causal:
+            mask = mask & (col <= row)
+        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+        m = m_ref[0, 0][:, None]
+        l = l_ref[0, 0][:, None]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        p = jnp.exp(s - m) * l_inv                             # [bq, bk]
+        do = do_ref[0, 0].astype(jnp.float32)                  # [bq, d]
+        # dv += P^T @ do
+        dv_scr[:] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        di = di_ref[0, 0][:, None]
+        ds = p * (dp - di) * sm_scale                          # [bq, bk]
+        # dk += dS^T @ q
+        dk_scr[:] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(qi == pl.num_programs(3) - 1)
+    def _():
+        dk_ref[0, 0] = (dk_scr[:] / sm_scale).astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sm_scale", "causal", "block_q", "block_k")
+)
+def _flash_bwd(q, k, v, kv_lengths, o, l, m, do, sm_scale, causal, block_q, block_k):
+    B, H, Sq, D = q.shape
+    Skv = k.shape[2]
+    bq = min(block_q, _pick(Sq))
+    bk = min(block_k, _pick(Skv))
+
+    di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)  # [B,H,Sq]
+
+    common_in = [
+        pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0)),   # q
+        pl.BlockSpec((1, 1, bk, D), lambda b, h, i, j: (b, h, j, 0)),   # k
+        pl.BlockSpec((1, 1, bk, D), lambda b, h, i, j: (b, h, j, 0)),   # v
+        pl.BlockSpec((1, 1), lambda b, h, i, j: (b, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0)),   # do
+        pl.BlockSpec((1, 1, bq), lambda b, h, i, j: (b, h, i)),         # l
+        pl.BlockSpec((1, 1, bq), lambda b, h, i, j: (b, h, i)),         # m
+        pl.BlockSpec((1, 1, bq), lambda b, h, i, j: (b, h, i)),         # di
+    ]
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _bwd_dq_kernel, sm_scale=sm_scale, causal=causal,
+            block_q=bq, block_k=bk,
+        ),
+        grid=(B, H, Sq // bq, Skv // bk),
+        in_specs=common_in,
+        out_specs=pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, Sq, D), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
+        interpret=_use_interpret(),
+    )(q, k, v, kv_lengths.reshape(-1, 1), do, l, m, di)
+
+    swapped_in = [
+        pl.BlockSpec((1, 1, bq, D), lambda b, h, j, i: (b, h, i, 0)),   # q
+        pl.BlockSpec((1, 1, bk, D), lambda b, h, j, i: (b, h, j, 0)),   # k
+        pl.BlockSpec((1, 1, bk, D), lambda b, h, j, i: (b, h, j, 0)),   # v
+        pl.BlockSpec((1, 1), lambda b, h, j, i: (b, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, bq, D), lambda b, h, j, i: (b, h, i, 0)),   # do
+        pl.BlockSpec((1, 1, bq), lambda b, h, j, i: (b, h, i)),         # l
+        pl.BlockSpec((1, 1, bq), lambda b, h, j, i: (b, h, i)),         # m
+        pl.BlockSpec((1, 1, bq), lambda b, h, j, i: (b, h, i)),         # di
+    ]
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_dkv_kernel, sm_scale=sm_scale, causal=causal,
+            block_q=bq, block_k=bk,
+        ),
+        grid=(B, H, Skv // bk, Sq // bq),
+        in_specs=swapped_in,
+        out_specs=[
+            pl.BlockSpec((1, 1, bk, D), lambda b, h, j, i: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, bk, D), lambda b, h, j, i: (b, h, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, Skv, D), k.dtype),
+            jax.ShapeDtypeStruct((B, H, Skv, D), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bk, D), jnp.float32),
+            pltpu.VMEM((bk, D), jnp.float32),
+        ],
+        interpret=_use_interpret(),
+    )(q, k, v, kv_lengths.reshape(-1, 1), do, l, m, di)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# public API with custom VJP
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def flash_attention(
+    q: jax.Array,               # [B, H, Sq, D]
+    k: jax.Array,               # [B, H, Skv, D]
+    v: jax.Array,               # [B, H, Skv, D]
+    kv_lengths: jax.Array,      # [B] int32 — keys >= length are masked
+    sm_scale: float = 1.0,
+    causal: bool = True,
+    block_q: int = 256,
+    block_k: int = 256,
+) -> jax.Array:
+    out, _, _ = _flash_fwd(q, k, v, kv_lengths, sm_scale, causal, block_q, block_k)
+    return out
+
+
+def _fa_fwd(q, k, v, kv_lengths, sm_scale, causal, block_q, block_k):
+    out, l, m = _flash_fwd(q, k, v, kv_lengths, sm_scale, causal, block_q, block_k)
+    return out, (q, k, v, kv_lengths, out, l, m)
+
+
+def _fa_bwd(sm_scale, causal, block_q, block_k, res, do):
+    q, k, v, kv_lengths, o, l, m = res
+    dq, dk, dv = _flash_bwd(
+        q, k, v, kv_lengths, o, l, m, do, sm_scale, causal, block_q, block_k
+    )
+    return dq, dk, dv, None
+
+
+flash_attention.defvjp(_fa_fwd, _fa_bwd)
+
+
+def attention_reference(q, k, v, kv_lengths, sm_scale=1.0, causal=True):
+    """jnp oracle with identical masking semantics (fp32 softmax)."""
+    B, H, Sq, D = q.shape
+    Skv = k.shape[2]
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)
+    ) * sm_scale
+    col = jnp.arange(Skv)[None, None, None, :]
+    mask = col < kv_lengths[:, None, None, None]
+    if causal:
+        row = jnp.arange(Sq)[None, None, :, None]
+        mask = mask & (col <= row)
+    s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32)).astype(q.dtype)

@@ -1,0 +1,77 @@
+"""Flash attention vs jnp oracle: forward, backward, masking."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qlora_tpu.ops.flash_attention import attention_reference, flash_attention
+
+
+def _mk(key, B, H, Sq, Skv, D):
+    ks = jax.random.split(jax.random.PRNGKey(key), 3)
+    q = jax.random.normal(ks[0], (B, H, Sq, D), jnp.float32)
+    k = jax.random.normal(ks[1], (B, H, Skv, D), jnp.float32)
+    v = jax.random.normal(ks[2], (B, H, Skv, D), jnp.float32)
+    return q, k, v
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_forward_matches_reference(causal):
+    B, H, S, D = 2, 2, 256, 128
+    q, k, v = _mk(0, B, H, S, S, D)
+    lengths = jnp.asarray([S, S - 70], jnp.int32)
+    sm = 1.0 / np.sqrt(D)
+    got = flash_attention(q, k, v, lengths, sm, causal)
+    want = attention_reference(q, k, v, lengths, sm, causal)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-3, rtol=2e-3
+    )
+
+
+def test_multi_tile_online_softmax():
+    # Skv spans multiple 128-tiles => exercises the running-max correction
+    B, H, Sq, Skv, D = 1, 1, 128, 512, 128
+    q, k, v = _mk(1, B, H, Sq, Skv, D)
+    k = k * 3.0  # widen score range to stress the max updates
+    lengths = jnp.asarray([Skv], jnp.int32)
+    got = flash_attention(q, k, v, lengths, 0.2, False, block_q=128, block_k=128)
+    want = attention_reference(q, k, v, lengths, 0.2, False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-3, rtol=3e-3)
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_grads_match_reference(causal):
+    B, H, S, D = 1, 2, 128, 128
+    q, k, v = _mk(2, B, H, S, S, D)
+    lengths = jnp.asarray([S], jnp.int32)
+    sm = 1.0 / np.sqrt(D)
+
+    def f(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, lengths, sm, causal) ** 2)
+
+    def f_ref(q, k, v):
+        return jnp.sum(attention_reference(q, k, v, lengths, sm, causal) ** 2)
+
+    g = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-2, rtol=5e-2,
+            err_msg=f"d{name} mismatch",
+        )
+
+
+def test_padding_gradients_are_zero():
+    B, H, S, D = 1, 1, 128, 128
+    q, k, v = _mk(3, B, H, S, S, D)
+    L = 50
+    lengths = jnp.asarray([L], jnp.int32)
+
+    def f(k, v):
+        return jnp.sum(flash_attention(q, k, v, lengths, 1.0, True))
+
+    dk, dv = jax.grad(f, argnums=(0, 1))(k, v)
+    # keys past the valid length must receive no gradient
+    assert np.abs(np.asarray(dk)[:, :, L:]).max() == 0
+    assert np.abs(np.asarray(dv)[:, :, L:]).max() == 0

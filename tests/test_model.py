@@ -96,3 +96,16 @@ def test_gqa_llama2_70b_shapes():
     logits, _ = forward(params, None, ids, cfg)
     assert logits.shape == (1, 3, 512)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_flash_path_matches_jnp_path():
+    # S=128 triggers the flash kernel; compare against use_flash="never"
+    cfg = get_config("debug")
+    params = init_params(jax.random.PRNGKey(5), cfg, quantized=True)
+    ids = jax.random.randint(jax.random.PRNGKey(6), (2, 128), 0, cfg.vocab_size)
+    m = jnp.ones((2, 128), jnp.int32).at[1, 100:].set(0)
+    la, _ = forward(params, None, ids, cfg, attn_mask=m, use_flash="always")
+    lb, _ = forward(params, None, ids, cfg, attn_mask=m, use_flash="never")
+    np.testing.assert_allclose(
+        np.asarray(la[:, :100]), np.asarray(lb[:, :100]), atol=0.15, rtol=0.05
+    )
