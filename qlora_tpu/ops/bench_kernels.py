@@ -4,8 +4,8 @@ The dispatch path on the dev box (axon relay) caches identical execute
 requests and adds high per-call latency, so single-kernel wall-clock is
 meaningless.  ``qmm_repeat`` runs the production fwd kernel body under an
 extra leading grid dimension that repeats the whole computation R times in
-ONE dispatch: device time dominates RPC noise and inputs stay fresh via a
-caller-supplied counter.
+ONE dispatch: device time dominates RPC noise.  Keep this in sync with
+``qlora_tpu.ops.qmatmul._qmm_fwd_kernel``.
 """
 
 from __future__ import annotations
@@ -18,7 +18,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from qlora_tpu.quant.codebooks import CODEBOOKS
-from qlora_tpu.ops.qmatmul import _pick_tile, _use_interpret
+from qlora_tpu.ops.qmatmul import _pick_tile, _scale_rows, _use_interpret
 
 
 @functools.partial(
@@ -32,39 +32,43 @@ def qmm_repeat(x, packed, am, shape, block_size, quant_type, reps=64):
     code = CODEBOOKS[quant_type]
 
     TKp = _pick_tile(K2, (512, 256, 128))
-    TN = 128
+    TN = _pick_tile(N, (512, 256, 128))
+    n_slices = TN // 128
     x = x.astype(jnp.bfloat16)
-    TM = _pick_tile(M, (256, 128, 64, 32, 16))
+    TM = _pick_tile(M, (1024, 512, 256, 128, 64, 32, 16))
 
     grid = (reps, M // TM, N // TN, K2 // TKp)
     nb = TKp // block_size
     koff = K2 // TKp
     am_rows = K // block_size
-    tab = jnp.tile(jnp.asarray(code)[None, :], (TKp, TN // 16))
+    tab = jnp.tile(jnp.asarray(code)[None, :], (TKp, 128 // 16))
 
     def kernel(xl_ref, xh_ref, p_ref, am_ref, tab_ref, o_ref, acc_ref):
-        # same body as the production fwd kernel; the leading repeat grid
-        # dimension is ignored everywhere
+        # mirror of _qmm_fwd_kernel with the leading repeat index ignored
         k = pl.program_id(3)
 
         @pl.when(k == 0)
         def _():
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        p32 = p_ref[:].astype(jnp.int32)
-        low = p32 & 0x0F
-        high = p32 >> 4
-        aml = am_ref[pl.ds(k * nb, nb), :]
-        amh = am_ref[pl.ds(am_rows // 2 + k * nb, nb), :]
-        vl = jnp.take_along_axis(tab_ref[:], low, axis=1)
-        vh = jnp.take_along_axis(tab_ref[:], high, axis=1)
-        r, c = vl.shape
-        wl = (vl.reshape(r // block_size, block_size, c) * aml[:, None, :]).reshape(r, c)
-        wh = (vh.reshape(r // block_size, block_size, c) * amh[:, None, :]).reshape(r, c)
-        acc_ref[:] += jnp.dot(xl_ref[:], wl.astype(jnp.bfloat16),
-                              preferred_element_type=jnp.float32)
-        acc_ref[:] += jnp.dot(xh_ref[:], wh.astype(jnp.bfloat16),
-                              preferred_element_type=jnp.float32)
+        tab_v = tab_ref[:]
+        wls, whs = [], []
+        for s in range(n_slices):
+            sl = slice(s * 128, (s + 1) * 128)
+            p32 = p_ref[:, sl].astype(jnp.int32)
+            low = p32 & 0x0F
+            high = p32 >> 4
+            aml = am_ref[pl.ds(k * nb, nb), sl]
+            amh = am_ref[pl.ds(am_rows // 2 + k * nb, nb), sl]
+            wls.append(_scale_rows(jnp.take_along_axis(tab_v, low, axis=1), aml, block_size).astype(jnp.bfloat16))
+            whs.append(_scale_rows(jnp.take_along_axis(tab_v, high, axis=1), amh, block_size).astype(jnp.bfloat16))
+        wl = wls[0] if n_slices == 1 else jnp.concatenate(wls, axis=1)
+        wh = whs[0] if n_slices == 1 else jnp.concatenate(whs, axis=1)
+        acc_ref[:] += jnp.dot(
+            xl_ref[:], wl, preferred_element_type=jnp.float32
+        ) + jnp.dot(
+            xh_ref[:], wh, preferred_element_type=jnp.float32
+        )
 
         @pl.when(k == pl.num_programs(3) - 1)
         def _():
@@ -78,7 +82,7 @@ def qmm_repeat(x, packed, am, shape, block_size, quant_type, reps=64):
             pl.BlockSpec((TM, TKp), lambda r, i, j, k: (i, k + koff)),
             pl.BlockSpec((TKp, TN), lambda r, i, j, k: (k, j)),
             pl.BlockSpec((am_rows, TN), lambda r, i, j, k: (0, j)),
-            pl.BlockSpec((TKp, TN), lambda r, i, j, k: (0, 0)),
+            pl.BlockSpec((TKp, 128), lambda r, i, j, k: (0, 0)),
         ],
         out_specs=pl.BlockSpec((TM, TN), lambda r, i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((M, N), jnp.bfloat16),

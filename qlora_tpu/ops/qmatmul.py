@@ -68,16 +68,20 @@ def _scale_rows(v: jax.Array, am: jax.Array, block_size: int) -> jax.Array:
 
 def _qmm_fwd_kernel(
     xl_ref, xh_ref, p_ref, am_ref, tab_ref, o_ref, acc_ref,
-    *, block_size, nb, am_half_rows, out_dtype,
+    *, block_size, nb, am_half_rows, n_slices, out_dtype,
 ):
     """One (i, j, k) grid step of y[M,N] = x[M,K] @ dequant(W)[K,N].
 
     k tiles the packed rows (= K/2 logical rows per nibble plane); both
     nibble planes of the tile are decoded and contracted against the
-    matching low/high x tiles, so each packed byte is read once.  The
-    absmax ref carries all K//B rows for the current N-tile (small; reused
-    across k) and is sliced per-step — its row count is rarely 8-aligned,
-    so it can't be gridded directly.
+    matching low/high x tiles, so each packed byte is read once.
+
+    The packed tile is DMA'd `n_slices`×128 lanes wide (long contiguous HBM
+    rows — 128-byte rows crater DMA efficiency) and processed in 128-lane
+    slices because the dynamic_gather decode needs a single-vreg-wide
+    source.  The absmax ref carries all K//B rows for the current N-tile
+    (small; reused across k) and is sliced per-step — its row count is
+    rarely 8-aligned, so it can't be gridded directly.
     """
     k = pl.program_id(2)
 
@@ -85,19 +89,30 @@ def _qmm_fwd_kernel(
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # bit-ops in int32: Mosaic can't legalize 8-bit logical shift (shrui)
-    p32 = p_ref[:].astype(jnp.int32)
-    low = p32 & 0x0F
-    high = p32 >> 4
-    aml = am_ref[pl.ds(k * nb, nb), :]
-    amh = am_ref[pl.ds(am_half_rows + k * nb, nb), :]
-    wl = _scale_rows(_decode_gather(low, tab_ref), aml, block_size)
-    wh = _scale_rows(_decode_gather(high, tab_ref), amh, block_size)
+    tab = tab_ref[:]
+    wls, whs = [], []
+    for s in range(n_slices):
+        sl = slice(s * 128, (s + 1) * 128)
+        # bit-ops in int32: Mosaic can't legalize 8-bit logical shift (shrui)
+        p32 = p_ref[:, sl].astype(jnp.int32)
+        low = p32 & 0x0F
+        high = p32 >> 4
+        aml = am_ref[pl.ds(k * nb, nb), sl]
+        amh = am_ref[pl.ds(am_half_rows + k * nb, nb), sl]
+        wls.append(
+            _scale_rows(jnp.take_along_axis(tab, low, axis=1), aml, block_size)
+            .astype(jnp.bfloat16)
+        )
+        whs.append(
+            _scale_rows(jnp.take_along_axis(tab, high, axis=1), amh, block_size)
+            .astype(jnp.bfloat16)
+        )
+    wl = wls[0] if n_slices == 1 else jnp.concatenate(wls, axis=1)
+    wh = whs[0] if n_slices == 1 else jnp.concatenate(whs, axis=1)
     acc_ref[:] += jnp.dot(
-        xl_ref[:], wl.astype(jnp.bfloat16), preferred_element_type=jnp.float32
-    )
-    acc_ref[:] += jnp.dot(
-        xh_ref[:], wh.astype(jnp.bfloat16), preferred_element_type=jnp.float32
+        xl_ref[:], wl, preferred_element_type=jnp.float32
+    ) + jnp.dot(
+        xh_ref[:], wh, preferred_element_type=jnp.float32
     )
 
     @pl.when(k == pl.num_programs(2) - 1)
@@ -107,13 +122,14 @@ def _qmm_fwd_kernel(
 
 def _qmm_bwd_kernel(
     g_ref, p_ref, am_ref, tab_ref, o_ref, acc_ref,
-    *, block_size, nb, nj_half, out_dtype,
+    *, block_size, nb, nj_half, n_slices, out_dtype,
 ):
     """One (i, j, k) grid step of dx[M,K] = g[M,N] @ dequant(W)[K,N]ᵀ.
 
     Grid: i over M tiles, j over logical-K output tiles, k over N tiles
     (contraction).  Output tile j lies entirely in the low (j < nj_half) or
-    high nibble plane of the packed tile, selected per-step.
+    high nibble plane of the packed tile, selected per-step.  Wide DMA +
+    128-lane decode slices, as in the forward kernel.
     """
     k = pl.program_id(2)
     j = pl.program_id(1)
@@ -122,16 +138,20 @@ def _qmm_bwd_kernel(
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    p32 = p_ref[:].astype(jnp.int32)  # int32 domain: 8-bit shrui won't legalize
-    nib = jnp.where(j < nj_half, p32 & 0x0F, p32 >> 4)
-    am = am_ref[pl.ds(j * nb, nb), :]
-    w = _scale_rows(_decode_gather(nib, tab_ref), am, block_size)  # [TK, TN]
-    acc_ref[:] += jax.lax.dot_general(
-        g_ref[:],
-        w.astype(jnp.bfloat16),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    g = g_ref[:]
+    tab = tab_ref[:]
+    for s in range(n_slices):
+        sl = slice(s * 128, (s + 1) * 128)
+        p32 = p_ref[:, sl].astype(jnp.int32)  # int32: 8-bit shrui won't legalize
+        nib = jnp.where(j < nj_half, p32 & 0x0F, p32 >> 4)
+        am = am_ref[pl.ds(j * nb, nb), sl]
+        w = _scale_rows(jnp.take_along_axis(tab, nib, axis=1), am, block_size)
+        acc_ref[:] += jax.lax.dot_general(
+            g[:, sl],
+            w.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     @pl.when(k == pl.num_programs(2) - 1)
     def _():
@@ -158,10 +178,11 @@ def _qmm_pallas(x, packed, am, shape, block_size, quant_type, out_dtype=jnp.bflo
     code = CODEBOOKS[quant_type]
 
     TKp = _pick_tile(K2, (512, 256, 128))  # packed-row tile
-    TN = 128                               # lane width: enables 1-vreg lane-gather
+    TN = _pick_tile(N, (512, 256, 128))    # DMA width (lane-sliced in-kernel)
     xp = _pad_rows(x.astype(jnp.bfloat16), 16)
     Mp = xp.shape[0]
-    TM = _pick_tile(Mp, (256, 128, 64, 32, 16))
+    # big TM amortizes the per-(j,k) decode over many rows of x
+    TM = _pick_tile(Mp, (1024, 512, 256, 128, 64, 32, 16))
 
     grid = (Mp // TM, N // TN, K2 // TKp)
     nb = TKp // block_size          # absmax rows per tile
@@ -170,11 +191,12 @@ def _qmm_pallas(x, packed, am, shape, block_size, quant_type, out_dtype=jnp.bflo
     am_rows = K // block_size
     # codebook tiled across lanes & rows; computed on device (never a jit
     # closure constant — those re-upload per dispatch through some runtimes)
-    tab = jnp.tile(jnp.asarray(code)[None, :], (TKp, TN // 16))
+    tab = jnp.tile(jnp.asarray(code)[None, :], (TKp, 128 // 16))
     out = pl.pallas_call(
         functools.partial(
             _qmm_fwd_kernel, block_size=block_size,
-            nb=nb, am_half_rows=am_rows // 2, out_dtype=out_dtype,
+            nb=nb, am_half_rows=am_rows // 2, n_slices=TN // 128,
+            out_dtype=out_dtype,
         ),
         grid=grid,
         in_specs=[
@@ -182,7 +204,7 @@ def _qmm_pallas(x, packed, am, shape, block_size, quant_type, out_dtype=jnp.bflo
             pl.BlockSpec((TM, TKp), lambda i, j, k: (i, k + koff)),    # x high cols
             pl.BlockSpec((TKp, TN), lambda i, j, k: (k, j)),           # packed
             pl.BlockSpec((am_rows, TN), lambda i, j, k: (0, j)),       # absmax (all rows)
-            pl.BlockSpec((TKp, TN), lambda i, j, k: (0, 0)),           # codebook table
+            pl.BlockSpec((TKp, 128), lambda i, j, k: (0, 0)),          # codebook table
         ],
         out_specs=pl.BlockSpec((TM, TN), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
@@ -208,7 +230,7 @@ def _qmm_bwd_pallas(g, packed, am, shape, block_size, quant_type, out_dtype=jnp.
     code = CODEBOOKS[quant_type]
 
     TK = _pick_tile(K2, (512, 256, 128))  # logical-K output tile (divides K/2)
-    TN = 128                              # lane width: 1-vreg lane-gather decode
+    TN = _pick_tile(N, (512, 256, 128))   # DMA width (lane-sliced in-kernel)
     gp = _pad_rows(g.astype(jnp.bfloat16), 16)
     Mp = gp.shape[0]
     TM = _pick_tile(Mp, (256, 128, 64, 32, 16))
@@ -218,19 +240,19 @@ def _qmm_bwd_pallas(g, packed, am, shape, block_size, quant_type, out_dtype=jnp.
     nb = TK // block_size
 
     am_rows = K // block_size
-    tab = jnp.tile(jnp.asarray(code)[None, :], (TK, TN // 16))
+    tab = jnp.tile(jnp.asarray(code)[None, :], (TK, 128 // 16))
     out = pl.pallas_call(
         functools.partial(
             _qmm_bwd_kernel,
             block_size=block_size, nb=nb, nj_half=nj_half,
-            out_dtype=out_dtype,
+            n_slices=TN // 128, out_dtype=out_dtype,
         ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((TM, TN), lambda i, j, k: (i, k)),            # g
             pl.BlockSpec((TK, TN), lambda i, j, k: (j % nj_half, k)),  # packed
             pl.BlockSpec((am_rows, TN), lambda i, j, k: (0, k)),       # absmax (all rows)
-            pl.BlockSpec((TK, TN), lambda i, j, k: (0, 0)),            # codebook table
+            pl.BlockSpec((TK, 128), lambda i, j, k: (0, 0)),           # codebook table
         ],
         out_specs=pl.BlockSpec((TM, TK), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((Mp, K), out_dtype),
