@@ -1,0 +1,78 @@
+"""Guanaco inference example — the reference's examples/guanaco_generate.py
+re-built on the TPU engine.
+
+Loads a base model NF4-quantized + a trained LoRA adapter checkpoint, then
+sampled generation with the Guanaco ``### Human:/### Assistant:`` prompt
+format (reference lines 40-74).
+
+Usage:
+  python examples/guanaco_generate.py \
+      --model_path /path/to/hf/llama-7b \
+      --adapter_path ./output  (checkpoint dir; latest checkpoint is used) \
+      --prompt "Tell me about gravitation." \
+      --max_new_tokens 512 --top_p 0.9 --temperature 0.7
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+from qlora_tpu.generate import SamplingParams, generate
+from qlora_tpu.lora import LoraConfig
+from qlora_tpu.models import init_lora_params
+from qlora_tpu.utils.checkpoint import get_last_checkpoint, load_checkpoint
+from qlora_tpu.utils.hf_import import load_hf_model
+from qlora_tpu.utils.tokenizer import load_tokenizer
+
+PROMPT_TEMPLATE = "### Human: {user_question}### Assistant:"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model_path", required=True)
+    ap.add_argument("--adapter_path", default=None)
+    ap.add_argument("--prompt", default="Tell me about alpacas.")
+    ap.add_argument("--max_new_tokens", type=int, default=512)
+    ap.add_argument("--top_p", type=float, default=0.9)
+    ap.add_argument("--temperature", type=float, default=0.7)
+    ap.add_argument("--lora_r", type=int, default=64)
+    ap.add_argument("--lora_alpha", type=float, default=16)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    params, cfg = load_hf_model(args.model_path, quantize_base=True)
+    tokenizer, _ = load_tokenizer(args.model_path)
+
+    lora = None
+    lcfg = LoraConfig(r=args.lora_r, alpha=args.lora_alpha)
+    if args.adapter_path:
+        ckpt, _ = get_last_checkpoint(args.adapter_path)
+        ckpt = ckpt or args.adapter_path
+        like = init_lora_params(jax.random.PRNGKey(0), cfg, lcfg)
+        lora, _, _ = load_checkpoint(ckpt, like)
+        print(f"loaded adapter from {ckpt}")
+
+    text = PROMPT_TEMPLATE.format(user_question=args.prompt)
+    ids = [tokenizer.bos_token_id] + tokenizer.encode(text)
+    toks = generate(
+        params, lora,
+        jnp.asarray([ids], jnp.int32), jnp.asarray([len(ids)]),
+        cfg, lcfg,
+        max_new_tokens=args.max_new_tokens,
+        eos_id=tokenizer.eos_token_id,
+        sparams=SamplingParams(
+            do_sample=True, temperature=args.temperature, top_p=args.top_p
+        ),
+        rng=jax.random.PRNGKey(args.seed),
+    )
+    out = [t for t in toks[0].tolist() if t != tokenizer.eos_token_id]
+    print(tokenizer.decode(out))
+
+
+if __name__ == "__main__":
+    main()

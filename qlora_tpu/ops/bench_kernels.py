@@ -22,20 +22,21 @@ from qlora_tpu.ops.qmatmul import _pick_tile, _scale_rows, _use_interpret
 
 
 @functools.partial(
-    jax.jit, static_argnames=("shape", "block_size", "quant_type", "reps")
+    jax.jit, static_argnames=("shape", "block_size", "quant_type", "reps", "tkp_max", "tn_max")
 )
-def qmm_repeat(x, packed, am, shape, block_size, quant_type, reps=64):
+def qmm_repeat(x, packed, am, shape, block_size, quant_type, reps=64,
+               tkp_max=512, tn_max=512):
     """y = x @ dequant(packed, am), computed `reps` times in one pallas call."""
     K, N = shape
     K2 = K // 2
     M = x.shape[0]
     code = CODEBOOKS[quant_type]
 
-    TKp = _pick_tile(K2, (512, 256, 128))
-    TN = _pick_tile(N, (512, 256, 128))
+    TKp = _pick_tile(K2, tuple(t for t in (1024, 512, 256, 128) if t <= tkp_max))
+    TM = _pick_tile(M, (1024, 512, 256, 128, 64, 32, 16))
+    TN = 128 if TM <= 64 else _pick_tile(N, tuple(t for t in (512, 256, 128) if t <= tn_max))
     n_slices = TN // 128
     x = x.astype(jnp.bfloat16)
-    TM = _pick_tile(M, (1024, 512, 256, 128, 64, 32, 16))
 
     grid = (reps, M // TM, N // TN, K2 // TKp)
     nb = TKp // block_size

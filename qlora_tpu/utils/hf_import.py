@@ -116,6 +116,15 @@ def _import_linear(get, wname, bname, quantize_base, qkw) -> QLinear | DenseLine
     w = _to_f32(get(wname)).T  # HF [out, in] → ours [in, out]
     bias = _to_f32(get(bname)) if bname and bname in get.names else None
     if quantize_base:
+        # large tensors: threaded native C++ quantizer (checkpoint-conversion
+        # hot path); small ones aren't worth the host round-trip
+        if w.size >= 1 << 22:
+            from qlora_tpu.utils.native_quant import native_available, quantize_native
+
+            if native_available():
+                return QLinear(
+                    qt=quantize_native(np.asarray(w), **qkw), bias=bias
+                )
         return QLinear(qt=quantize(w, **qkw), bias=bias)
     return DenseLinear(w=w.astype(jnp.bfloat16), bias=bias)
 
