@@ -314,6 +314,7 @@ def train(args: Args) -> dict:
             if args.save_strategy == "steps" and (step + 1) % args.save_steps == 0:
                 save_checkpoint(args.output_dir, step + 1, state.trainable,
                                 state.opt_state)
+                _prune_checkpoints(args.output_dir, args.save_total_limit)
             if args.do_mmlu_eval and args.eval_steps and (step + 1) % args.eval_steps == 0:
                 all_metrics.update(_run_mmlu(args, params, state, cfg, lcfg,
                                              tokenizer, mode))
@@ -353,6 +354,22 @@ def train(args: Args) -> dict:
     with open(os.path.join(args.output_dir, "metrics.json"), "w") as f:
         json.dump(all_metrics, f, indent=2)
     return all_metrics
+
+
+def _prune_checkpoints(output_dir: str, keep: int):
+    """save_total_limit semantics: delete oldest checkpoint dirs beyond keep."""
+    import re
+    import shutil
+
+    if not keep or keep <= 0:
+        return
+    ckpts = []
+    for name in os.listdir(output_dir):
+        m = re.fullmatch(r"checkpoint-(\d+)", name)
+        if m:
+            ckpts.append((int(m.group(1)), name))
+    for _, name in sorted(ckpts)[:-keep]:
+        shutil.rmtree(os.path.join(output_dir, name), ignore_errors=True)
 
 
 def _run_mmlu(args, params, state, cfg, lcfg, tokenizer, mode):

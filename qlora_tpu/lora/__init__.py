@@ -67,3 +67,53 @@ def merge_lora(w: jax.Array, adapter: dict, scale: float) -> jax.Array:
 
 def count_lora_params(lora_tree) -> int:
     return sum(x.size for x in jax.tree_util.tree_leaves(lora_tree))
+
+
+def merge_lora_into_params(params: dict, lora: dict, lcfg: LoraConfig,
+                           requantize: bool = True) -> dict:
+    """Model-level merge_and_unload: fold every adapter into its base linear.
+
+    Quantized linears are dequantized, merged, and (optionally) re-quantized
+    — the notebook demo's 16-bit ``merge_and_unload()`` path corresponds to
+    ``requantize=False``.  Returns a new params tree; inputs are untouched.
+    """
+    import jax.numpy as jnp
+
+    from qlora_tpu.models.layers import DenseLinear, QLinear
+    from qlora_tpu.quant.blockwise import dequantize, quantize
+
+    def merge_linear(lin, adapter):
+        # leaves are stacked [L, ...]; merge layer-by-layer
+        n_layers = adapter["a"].shape[0]
+
+        def one(lin_l, ad_l):
+            if isinstance(lin_l, QLinear):
+                w = dequantize(lin_l.qt, jnp.float32)
+                merged = merge_lora(w, ad_l, lcfg.scale)
+                if requantize:
+                    return QLinear(
+                        qt=quantize(
+                            merged,
+                            block_size=lin_l.qt.block_size,
+                            quant_type=lin_l.qt.quant_type,
+                            double_quant=lin_l.qt.double_quant,
+                        ),
+                        bias=lin_l.bias,
+                    )
+                return DenseLinear(w=merged.astype(jnp.bfloat16), bias=lin_l.bias)
+            merged = merge_lora(lin_l.w.astype(jnp.float32), ad_l, lcfg.scale)
+            return DenseLinear(w=merged.astype(lin_l.w.dtype), bias=lin_l.bias)
+
+        per_layer = [
+            one(
+                jax.tree_util.tree_map(lambda x: x[i], lin),
+                jax.tree_util.tree_map(lambda x: x[i], adapter),
+            )
+            for i in range(n_layers)
+        ]
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_layer)
+
+    blocks = dict(params["blocks"])
+    for name, adapter in lora.items():
+        blocks[name] = merge_linear(params["blocks"][name], adapter)
+    return dict(params, blocks=blocks)

@@ -1,0 +1,98 @@
+"""MMLU data preparation.
+
+The reference ships only ``data/mmlu/zero_shot_mmlu_val.json`` (and reads
+four files, two of which are missing from its repo — SURVEY.md component 9).
+This tool produces all four in the schema our evaluator consumes
+({subject, input, output}), from either:
+
+* ``--from_reference PATH`` — copy/convert the reference's shipped file;
+* ``--from_hub``           — build zero- and five-shot val/test splits from
+  the ``cais/mmlu`` HF dataset (requires network/dataset cache).
+
+Zero-shot prompt format matches the reference file; five-shot prepends the
+dev-split exemplars per subject.
+"""
+
+import argparse
+import json
+import os
+
+CHOICES = ["A", "B", "C", "D"]
+
+
+def format_example(q, choices, answer_idx, include_answer=True):
+    s = q
+    for j, ch in enumerate(choices):
+        s += f"\n{CHOICES[j]}. {ch}"
+    s += "\nAnswer:"
+    if include_answer:
+        s += f" {CHOICES[answer_idx]}\n\n"
+    return s
+
+
+def build_from_hub(out_dir):
+    import datasets
+
+    os.makedirs(out_dir, exist_ok=True)
+    ds = datasets.load_dataset("cais/mmlu", "all")
+    dev_by_subject = {}
+    for r in ds["dev"]:
+        dev_by_subject.setdefault(r["subject"], []).append(r)
+
+    def rows(split, shots):
+        out = []
+        for r in ds[split]:
+            prefix = ""
+            if shots:
+                header = (
+                    "The following are multiple choice questions (with answers) "
+                    f"about {r['subject'].replace('_', ' ')}.\n\n"
+                )
+                ex = dev_by_subject.get(r["subject"], [])[:shots]
+                prefix = header + "".join(
+                    format_example(e["question"], e["choices"], e["answer"])
+                    for e in ex
+                )
+            out.append({
+                "subject": r["subject"],
+                "input": prefix + format_example(
+                    r["question"], r["choices"], r["answer"], include_answer=False
+                ),
+                "output": CHOICES[r["answer"]],
+            })
+        return out
+
+    for split, hub_split in (("val", "validation"), ("test", "test")):
+        for shots, tag in ((0, "zero_shot"), (5, "five_shot")):
+            path = os.path.join(out_dir, f"{tag}_mmlu_{split}.json")
+            with open(path, "w") as f:
+                json.dump(rows(hub_split, shots), f)
+            print("wrote", path)
+
+
+def convert_reference(src, out_dir):
+    os.makedirs(out_dir, exist_ok=True)
+    with open(src) as f:
+        data = json.load(f)
+    if isinstance(data, dict):  # columnar
+        keys = list(data)
+        n = len(data[keys[0]])
+        data = [{k: data[k][i] for k in keys} for i in range(n)]
+    dst = os.path.join(out_dir, os.path.basename(src))
+    with open(dst, "w") as f:
+        json.dump(data, f)
+    print(f"wrote {dst} ({len(data)} records)")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--from_reference", default=None)
+    ap.add_argument("--from_hub", action="store_true")
+    ap.add_argument("--out_dir", default="data/mmlu")
+    a = ap.parse_args()
+    if a.from_reference:
+        convert_reference(a.from_reference, a.out_dir)
+    elif a.from_hub:
+        build_from_hub(a.out_dir)
+    else:
+        ap.error("pass --from_reference PATH or --from_hub")
