@@ -89,10 +89,24 @@ class Args:
     top_k: int = 50
     top_p: float = 1.0
     repetition_penalty: float = 1.0
+    # reference-compat flags accepted for script parity (some are no-ops on
+    # TPU — the trainer always runs bf16 compute, single in-process host)
+    cache_dir: Optional[str] = None
+    bf16: bool = True
+    fp16: bool = False                         # unsupported: warns, uses bf16
+    adam_beta2: float = 0.999
+    data_seed: Optional[int] = None            # seed for the train/eval split
+    evaluation_strategy: str = "steps"
+    logging_strategy: str = "steps"
+    dataloader_num_workers: int = 0
+    remove_unused_columns: bool = False
+    lora_modules: str = "all"                  # reference always targets all
+    use_auth: bool = False
     # TPU-framework extensions (not in the reference)
     mmlu_data_path: Optional[str] = None      # path to zero/five-shot json
     init_random: bool = False                 # random weights (tests/bench)
     fake_tokenizer: bool = False              # byte tokenizer (tests)
+    report_profile: bool = False              # jax.profiler trace of steps 5-10
     mesh_dp: int = 1
     mesh_fsdp: int = 1
     mesh_tp: int = 1
@@ -249,11 +263,14 @@ def train(args: Args) -> dict:
         n_train, n_total, 100.0 * n_train / max(n_total, 1),
     )
 
+    if args.fp16:
+        logger.warning("fp16 unsupported on TPU; using bf16 compute "
+                       "(the reference's own XPU path does the same)")
     opt_name = "adam8bit" if args.adam8bit else args.optim
     optimizer = make_optimizer(
         opt_name, args.learning_rate, total_steps=args.max_steps,
         warmup_ratio=args.warmup_ratio, weight_decay=args.weight_decay,
-        max_grad_norm=args.max_grad_norm,
+        max_grad_norm=args.max_grad_norm, b2=args.adam_beta2,
     )
     state = init_train_state(trainable, optimizer)
     start_step = 0
@@ -276,7 +293,12 @@ def train(args: Args) -> dict:
         train_on_source=args.train_on_source,
     )
 
+    from qlora_tpu.utils.metrics import MetricsLogger, StepTimer, maybe_profile
+
+    mlogger = MetricsLogger(args.output_dir, report_to=args.report_to)
+    timer = StepTimer()
     metrics_hist = []
+    data_seed = args.data_seed if args.data_seed is not None else 42
     if args.do_train and start_step < args.max_steps:
         train_ds, eval_ds = make_dataset(
             args.dataset,
@@ -284,7 +306,7 @@ def train(args: Args) -> dict:
             eval_dataset_size=args.eval_dataset_size,
             max_train_samples=args.max_train_samples,
             max_eval_samples=args.max_eval_samples,
-            seed=42,
+            seed=data_seed,
         )
         step_fn = make_train_step(
             cfg, lcfg, optimizer,
@@ -300,16 +322,23 @@ def train(args: Args) -> dict:
         rng = jax.random.PRNGKey(args.seed)
         t0 = time.time()
         for step in range(start_step, args.max_steps):
-            batch = next(batches)
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            rng, sub = jax.random.split(rng)
-            state, m = step_fn(state, params, batch, sub)
+            profiling = args.report_profile and step == start_step + 5
+            with maybe_profile(args.output_dir, profiling):
+                timer.tick()
+                batch = next(batches)
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                rng, sub = jax.random.split(rng)
+                state, m = step_fn(state, params, batch, sub)
+                jax.block_until_ready(m["loss"]) if profiling else None
+                timer.tock()
             if (step + 1) % args.logging_steps == 0:
                 loss = float(m["loss"])
                 dt = (time.time() - t0) / args.logging_steps
                 logger.info("step %d: loss %.4f (%.2fs/step)", step + 1, loss, dt)
-                metrics_hist.append({"step": step + 1, "loss": loss,
-                                     "seconds_per_step": dt})
+                row = {"step": step + 1, "loss": loss, "seconds_per_step": dt,
+                       "grad_norm": float(m["grad_norm"])}
+                metrics_hist.append(row)
+                mlogger.log(row, step=step + 1)
                 t0 = time.time()
             if args.save_strategy == "steps" and (step + 1) % args.save_steps == 0:
                 save_checkpoint(args.output_dir, step + 1, state.trainable,
@@ -351,6 +380,9 @@ def train(args: Args) -> dict:
             _run_predict(args, params, state, cfg, lcfg, tokenizer, collator, mode)
         )
 
+    if timer.times:
+        all_metrics["seconds_per_step_mean"] = timer.mean
+    mlogger.close()
     with open(os.path.join(args.output_dir, "metrics.json"), "w") as f:
         json.dump(all_metrics, f, indent=2)
     return all_metrics
