@@ -26,7 +26,7 @@ HBM_PEAK_GBPS = 819.0  # TPU v5e
 
 
 def main():
-    from qlora_tpu.ops.qmatmul import _qmm_pallas
+    from qlora_tpu.ops.bench_kernels import qmm_repeat
     from qlora_tpu.quant import quantize
     from qlora_tpu.quant.blockwise import absmax_f32
 
@@ -36,24 +36,22 @@ def main():
     qt = quantize(w)
     am = absmax_f32(qt)
     w_bytes = K * N // 2 + K * N // 64 + 4 * K * N // 64 // 256
+    base = jax.random.normal(kw, (M, K), dtype=jnp.float32) * 1e-3
 
-    def make(n):
-        base = jax.random.normal(kw, (M, K), dtype=jnp.float32) * 1e-3
-
-        @jax.jit
-        def f(c, p_, a_):
-            tot = jnp.zeros((), jnp.float32)
-            for j in range(n):
-                x = (base * (c + j)).astype(jnp.bfloat16)
-                y = _qmm_pallas(x, p_, a_, qt.shape, qt.block_size, qt.quant_type)
-                tot += jnp.sum(y.astype(jnp.float32))
-            return tot
-        return f
-
-    n1, n2 = 4, 36
+    # repeat-grid: R× the whole matmul inside ONE pallas dispatch; the
+    # (R2−R1) slope isolates device time from dispatch/RPC noise, and the
+    # fresh counter input defeats any execute-request caching.
+    r1, r2 = 8, 72
     ts = {}
-    for n in (n1, n2):
-        f = make(n)
+    for R in (r1, r2):
+        f = jax.jit(
+            lambda c, p_, a_, R=R: jnp.sum(
+                qmm_repeat(
+                    (base * c).astype(jnp.bfloat16), p_, a_,
+                    qt.shape, qt.block_size, qt.quant_type, reps=R,
+                ).astype(jnp.float32)
+            )
+        )
         f(jnp.float32(0.5), qt.packed, am).block_until_ready()
         best = float("inf")
         for r in range(8):
@@ -61,8 +59,8 @@ def main():
             t0 = time.perf_counter()
             f(c, qt.packed, am).block_until_ready()
             best = min(best, time.perf_counter() - t0)
-        ts[n] = best
-    per_call = max((ts[n2] - ts[n1]) / (n2 - n1), 1e-9)
+        ts[R] = best
+    per_call = max((ts[r2] - ts[r1]) / (r2 - r1), 1e-9)
     gbps = w_bytes / per_call / 1e9
 
     print(json.dumps({

@@ -51,7 +51,9 @@ def prefill(params, lora, ids, lengths, cfg, lcfg=LoraConfig(), *, cache):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "lcfg", "sparams", "max_new_tokens", "eos_id"),
+    static_argnames=(
+        "cfg", "lcfg", "sparams", "max_new_tokens", "eos_id", "min_new_tokens"
+    ),
 )
 def decode_loop(
     params,
@@ -66,6 +68,7 @@ def decode_loop(
     sparams: SamplingParams,
     max_new_tokens: int,
     eos_id: int,
+    min_new_tokens: int = 0,
 ):
     """jit'd while_loop decode. Returns tokens [B, max_new_tokens] (eos-padded)."""
     B = first_logits.shape[0]
@@ -78,6 +81,13 @@ def decode_loop(
     def body(state):
         t, logits, cache, seen, rng, done, out = state
         rng, sub = jax.random.split(rng)
+        if min_new_tokens > 0 and eos_id >= 0:
+            # suppress eos until the minimum length is reached
+            logits = jnp.where(
+                (t < min_new_tokens)
+                & (jnp.arange(V)[None, :] == eos_id),
+                -jnp.inf, logits,
+            )
         tok = sample_token(sub, logits, sparams, seen)
         tok = jnp.where(done, eos_id, tok)
         out = out.at[:, t].set(tok)
@@ -110,11 +120,19 @@ def generate(
     sparams: SamplingParams = SamplingParams(),
     rng: Optional[jax.Array] = None,
     max_len: Optional[int] = None,
+    min_new_tokens: int = 0,
+    num_beams: int = 1,
 ) -> jax.Array:
     """Batch generation (the reference's trainer.predict path, qlora.py:817-834).
 
     Returns new tokens [B, max_new_tokens], eos-padded after stop.
     """
+    if num_beams > 1:
+        return beam_search(
+            params, lora, ids, lengths, cfg, lcfg,
+            max_new_tokens=max_new_tokens, eos_id=eos_id,
+            num_beams=num_beams, max_len=max_len,
+        )
     B, S = ids.shape
     max_len = max_len or (S + max_new_tokens)
     cache = init_cache(cfg, B, max_len)
@@ -127,8 +145,103 @@ def generate(
         params, lora, last_logits, cache, seen, rng,
         cfg=cfg, lcfg=lcfg, sparams=sparams,
         max_new_tokens=max_new_tokens, eos_id=eos_id,
+        min_new_tokens=min_new_tokens,
     )
     return toks
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "lcfg", "max_new_tokens", "eos_id", "num_beams", "length_penalty"
+    ),
+)
+def _beam_loop(
+    params, lora, first_logits, cache, *,
+    cfg, lcfg, max_new_tokens, eos_id, num_beams, length_penalty,
+):
+    """Batched beam search over a [B*k]-row KV cache (HF-style reordering)."""
+    Bk = first_logits.shape[0]
+    k = num_beams
+    B = Bk // k
+    V = cfg.vocab_size
+    NEG = jnp.float32(-1e30)
+
+    def step(state):
+        t, logits, cache, scores, done, out = state
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        logp = logp.reshape(B, k, V)
+        # finished beams may only extend with eos at zero cost
+        eos_only = jnp.where(jnp.arange(V)[None, None, :] == eos_id, 0.0, NEG)
+        logp = jnp.where(done[:, :, None], eos_only, logp)
+        total = scores[:, :, None] + logp                     # [B, k, V]
+        flat = total.reshape(B, k * V)
+        new_scores, idx = jax.lax.top_k(flat, k)              # [B, k]
+        src_beam = idx // V                                   # [B, k]
+        tok = idx % V
+
+        # reorder everything beam-wise
+        gather_rows = (jnp.arange(B)[:, None] * k + src_beam).reshape(-1)
+        cache = {
+            "k": cache["k"][:, gather_rows],
+            "v": cache["v"][:, gather_rows],
+            "length": cache["length"][gather_rows],
+        }
+        out = out[jnp.arange(B)[:, None], src_beam]           # [B, k, T]
+        done = done[jnp.arange(B)[:, None], src_beam]
+        out = out.at[:, :, t].set(tok)
+        done = done | (tok == eos_id)
+
+        new_logits, cache = forward(
+            params, lora, tok.reshape(-1)[:, None], cfg, lcfg, cache=cache
+        )
+        return (t + 1, new_logits[:, 0], cache, new_scores, done, out)
+
+    def cond(state):
+        t, _, _, _, done, _ = state
+        return (t < max_new_tokens) & ~jnp.all(done)
+
+    out = jnp.full((B, k, max_new_tokens), eos_id, jnp.int32)
+    scores = jnp.tile(
+        jnp.concatenate([jnp.zeros((1,)), jnp.full((k - 1,), NEG)])[None, :],
+        (B, 1),
+    ).astype(jnp.float32)
+    state = (
+        jnp.int32(0), first_logits, cache, scores,
+        jnp.zeros((B, k), bool), out,
+    )
+    _, _, _, scores, done, out = jax.lax.while_loop(cond, step, state)
+
+    # length-normalized selection (HF length_penalty semantics, default 1.0)
+    lengths = jnp.sum(out != eos_id, axis=-1).astype(jnp.float32) + 1.0
+    norm = scores / (lengths ** length_penalty)
+    best = jnp.argmax(norm, axis=1)
+    return out[jnp.arange(B), best]
+
+
+def beam_search(
+    params, lora, ids, lengths, cfg, lcfg=LoraConfig(), *,
+    max_new_tokens=256, eos_id=2, num_beams=4, max_len=None,
+    length_penalty: float = 1.0,
+):
+    """Beam-search generation (GenerationArguments num_beams, qlora.py:230)."""
+    B, S = ids.shape
+    k = num_beams
+    max_len = max_len or (S + max_new_tokens)
+    cache = init_cache(cfg, B, max_len)
+    last_logits, cache = prefill(params, lora, ids, lengths, cfg, lcfg, cache=cache)
+    # tile rows to B*k beams
+    cache = {
+        "k": jnp.repeat(cache["k"], k, axis=1),
+        "v": jnp.repeat(cache["v"], k, axis=1),
+        "length": jnp.repeat(cache["length"], k),
+    }
+    first = jnp.repeat(last_logits, k, axis=0)
+    return _beam_loop(
+        params, lora, first, cache,
+        cfg=cfg, lcfg=lcfg, max_new_tokens=max_new_tokens,
+        eos_id=eos_id, num_beams=k, length_penalty=length_penalty,
+    )
 
 
 def generate_stream(

@@ -112,3 +112,39 @@ def test_sampling_reproducible(model):
     b = generate(params, None, ids, jnp.asarray([3]), cfg, max_new_tokens=4,
                  eos_id=-1, sparams=sp, rng=jax.random.PRNGKey(7))
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_min_new_tokens_suppresses_eos(model):
+    cfg, params = model
+    ids = jnp.asarray([[3, 5]], jnp.int32)
+    first = _greedy_reference(params, cfg, [3, 5], 1)[0]
+    # force eos = first greedy token; min_new_tokens must delay the stop
+    toks = generate(
+        params, None, ids, jnp.asarray([2]), cfg, max_new_tokens=5,
+        eos_id=first, min_new_tokens=3,
+    )
+    row = np.asarray(toks)[0]
+    assert (row[:3] != first).sum() >= 2  # eos suppressed early on
+
+
+def test_beam_search_beats_or_matches_greedy_logprob(model):
+    cfg, params = model
+    prompt = [3, 17, 5]
+    ids = jnp.asarray([prompt], jnp.int32)
+    L = jnp.asarray([3])
+    greedy = generate(params, None, ids, L, cfg, max_new_tokens=4, eos_id=-1)
+    beam = generate(params, None, ids, L, cfg, max_new_tokens=4, eos_id=-1,
+                    num_beams=3)
+    assert beam.shape == greedy.shape
+
+    def seq_logprob(seq):
+        toks = list(prompt)
+        total = 0.0
+        for t in np.asarray(seq)[0]:
+            logits, _ = forward(params, None, jnp.asarray([toks], jnp.int32), cfg)
+            lp = jax.nn.log_softmax(logits[0, -1].astype(jnp.float32))
+            total += float(lp[int(t)])
+            toks.append(int(t))
+        return total
+
+    assert seq_logprob(beam) >= seq_logprob(greedy) - 1e-3
