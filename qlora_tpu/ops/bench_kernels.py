@@ -42,9 +42,10 @@ def qmm_repeat(x, packed, am, shape, block_size, quant_type, reps=64,
     nb = TKp // block_size
     koff = K2 // TKp
     am_rows = K // block_size
+    am3 = am.reshape(am_rows // nb, nb, N)
     tab = jnp.tile(jnp.asarray(code)[None, :], (TKp, 128 // 16))
 
-    def kernel(xl_ref, xh_ref, p_ref, am_ref, tab_ref, o_ref, acc_ref):
+    def kernel(xl_ref, xh_ref, p_ref, aml_ref, amh_ref, tab_ref, o_ref, acc_ref):
         # mirror of _qmm_fwd_kernel with the leading repeat index ignored
         k = pl.program_id(3)
 
@@ -59,8 +60,8 @@ def qmm_repeat(x, packed, am, shape, block_size, quant_type, reps=64,
             p32 = p_ref[:, sl].astype(jnp.int32)
             low = p32 & 0x0F
             high = p32 >> 4
-            aml = am_ref[pl.ds(k * nb, nb), sl]
-            amh = am_ref[pl.ds(am_rows // 2 + k * nb, nb), sl]
+            aml = aml_ref[0, :, sl]
+            amh = amh_ref[0, :, sl]
             wls.append(_scale_rows(jnp.take_along_axis(tab_v, low, axis=1), aml, block_size).astype(jnp.bfloat16))
             whs.append(_scale_rows(jnp.take_along_axis(tab_v, high, axis=1), amh, block_size).astype(jnp.bfloat16))
         wl = wls[0] if n_slices == 1 else jnp.concatenate(wls, axis=1)
@@ -82,11 +83,12 @@ def qmm_repeat(x, packed, am, shape, block_size, quant_type, reps=64,
             pl.BlockSpec((TM, TKp), lambda r, i, j, k: (i, k)),
             pl.BlockSpec((TM, TKp), lambda r, i, j, k: (i, k + koff)),
             pl.BlockSpec((TKp, TN), lambda r, i, j, k: (k, j)),
-            pl.BlockSpec((am_rows, TN), lambda r, i, j, k: (0, j)),
+            pl.BlockSpec((1, nb, TN), lambda r, i, j, k: (k, 0, j)),
+            pl.BlockSpec((1, nb, TN), lambda r, i, j, k: (k + koff, 0, j)),
             pl.BlockSpec((TKp, 128), lambda r, i, j, k: (0, 0)),
         ],
         out_specs=pl.BlockSpec((TM, TN), lambda r, i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((M, N), jnp.bfloat16),
         scratch_shapes=[pltpu.VMEM((TM, TN), jnp.float32)],
         interpret=_use_interpret(),
-    )(x, x, packed, am, tab)
+    )(x, x, packed, am3, am3, tab)

@@ -67,8 +67,8 @@ def _scale_rows(v: jax.Array, am: jax.Array, block_size: int) -> jax.Array:
 
 
 def _qmm_fwd_kernel(
-    xl_ref, xh_ref, p_ref, am_ref, tab_ref, o_ref, acc_ref,
-    *, block_size, nb, am_half_rows, n_slices, out_dtype,
+    xl_ref, xh_ref, p_ref, aml_ref, amh_ref, tab_ref, o_ref, acc_ref,
+    *, block_size, n_slices, out_dtype,
 ):
     """One (i, j, k) grid step of y[M,N] = x[M,K] @ dequant(W)[K,N].
 
@@ -79,9 +79,9 @@ def _qmm_fwd_kernel(
     The packed tile is DMA'd `n_slices`×128 lanes wide (long contiguous HBM
     rows — 128-byte rows crater DMA efficiency) and processed in 128-lane
     slices because the dynamic_gather decode needs a single-vreg-wide
-    source.  The absmax ref carries all K//B rows for the current N-tile
-    (small; reused across k) and is sliced per-step — its row count is
-    rarely 8-aligned, so it can't be gridded directly.
+    source.  The absmax arrives pre-reshaped to [steps, nb, N] and gridded
+    (1, nb, TN) per nibble plane — nb is often not 8-aligned, so in-kernel
+    dynamic row slicing would be illegal on TPU.
     """
     k = pl.program_id(2)
 
@@ -97,8 +97,8 @@ def _qmm_fwd_kernel(
         p32 = p_ref[:, sl].astype(jnp.int32)
         low = p32 & 0x0F
         high = p32 >> 4
-        aml = am_ref[pl.ds(k * nb, nb), sl]
-        amh = am_ref[pl.ds(am_half_rows + k * nb, nb), sl]
+        aml = aml_ref[0, :, sl]
+        amh = amh_ref[0, :, sl]
         wls.append(
             _scale_rows(jnp.take_along_axis(tab, low, axis=1), aml, block_size)
             .astype(jnp.bfloat16)
@@ -122,7 +122,7 @@ def _qmm_fwd_kernel(
 
 def _qmm_bwd_kernel(
     g_ref, p_ref, am_ref, tab_ref, o_ref, acc_ref,
-    *, block_size, nb, nj_half, n_slices, out_dtype,
+    *, block_size, nj_half, n_slices, out_dtype,
 ):
     """One (i, j, k) grid step of dx[M,K] = g[M,N] @ dequant(W)[K,N]ᵀ.
 
@@ -144,7 +144,7 @@ def _qmm_bwd_kernel(
         sl = slice(s * 128, (s + 1) * 128)
         p32 = p_ref[:, sl].astype(jnp.int32)  # int32: 8-bit shrui won't legalize
         nib = jnp.where(j < nj_half, p32 & 0x0F, p32 >> 4)
-        am = am_ref[pl.ds(j * nb, nb), sl]
+        am = am_ref[0, :, sl]
         w = _scale_rows(jnp.take_along_axis(tab, nib, axis=1), am, block_size)
         acc_ref[:] += jax.lax.dot_general(
             g[:, sl],
@@ -191,21 +191,24 @@ def _qmm_pallas(x, packed, am, shape, block_size, quant_type, out_dtype=jnp.bflo
     koff = K2 // TKp                # high-half offset in x-tile / am-block units
 
     am_rows = K // block_size
+    # [2*steps, nb, N]: low-plane step rows first, then high-plane rows;
+    # gridding (1, nb, TN) sidesteps illegal unaligned dynamic row slices
+    am3 = am.reshape(am_rows // nb, nb, N)
     # codebook tiled across lanes & rows; computed on device (never a jit
     # closure constant — those re-upload per dispatch through some runtimes)
     tab = jnp.tile(jnp.asarray(code)[None, :], (TKp, 128 // 16))
     out = pl.pallas_call(
         functools.partial(
             _qmm_fwd_kernel, block_size=block_size,
-            nb=nb, am_half_rows=am_rows // 2, n_slices=TN // 128,
-            out_dtype=out_dtype,
+            n_slices=TN // 128, out_dtype=out_dtype,
         ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((TM, TKp), lambda i, j, k: (i, k)),           # x low cols
             pl.BlockSpec((TM, TKp), lambda i, j, k: (i, k + koff)),    # x high cols
             pl.BlockSpec((TKp, TN), lambda i, j, k: (k, j)),           # packed
-            pl.BlockSpec((am_rows, TN), lambda i, j, k: (0, j)),       # absmax (all rows)
+            pl.BlockSpec((1, nb, TN), lambda i, j, k: (k, 0, j)),      # absmax low
+            pl.BlockSpec((1, nb, TN), lambda i, j, k: (k + koff, 0, j)),  # absmax high
             pl.BlockSpec((TKp, 128), lambda i, j, k: (0, 0)),          # codebook table
         ],
         out_specs=pl.BlockSpec((TM, TN), lambda i, j, k: (i, j)),
@@ -217,7 +220,7 @@ def _qmm_pallas(x, packed, am, shape, block_size, quant_type, out_dtype=jnp.bflo
             bytes_accessed=Mp * K * 2 + K * N // 2 + 4 * K * N // block_size + Mp * N * 2,
             transcendentals=0,
         ),
-    )(xp, xp, packed, am, tab)
+    )(xp, xp, packed, am3, am3, tab)
     return out[:M] if Mp != M else out
 
 
@@ -242,18 +245,19 @@ def _qmm_bwd_pallas(g, packed, am, shape, block_size, quant_type, out_dtype=jnp.
     nb = TK // block_size
 
     am_rows = K // block_size
+    am3 = am.reshape(am_rows // nb, nb, N)  # logical-K step rows, grid-addressable
     tab = jnp.tile(jnp.asarray(code)[None, :], (TK, 128 // 16))
     out = pl.pallas_call(
         functools.partial(
             _qmm_bwd_kernel,
-            block_size=block_size, nb=nb, nj_half=nj_half,
+            block_size=block_size, nj_half=nj_half,
             n_slices=TN // 128, out_dtype=out_dtype,
         ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((TM, TN), lambda i, j, k: (i, k)),            # g
             pl.BlockSpec((TK, TN), lambda i, j, k: (j % nj_half, k)),  # packed
-            pl.BlockSpec((am_rows, TN), lambda i, j, k: (0, k)),       # absmax (all rows)
+            pl.BlockSpec((1, nb, TN), lambda i, j, k: (j, 0, k)),      # absmax
             pl.BlockSpec((TK, 128), lambda i, j, k: (0, 0)),           # codebook table
         ],
         out_specs=pl.BlockSpec((TM, TK), lambda i, j, k: (i, j)),
@@ -265,7 +269,7 @@ def _qmm_bwd_pallas(g, packed, am, shape, block_size, quant_type, out_dtype=jnp.
             bytes_accessed=Mp * N * 2 + K * N + 4 * K * N // block_size + Mp * K * 2,
             transcendentals=0,
         ),
-    )(gp, packed, am, tab)
+    )(gp, packed, am3, tab)
     return out[:M] if Mp != M else out
 
 
