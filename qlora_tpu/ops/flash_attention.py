@@ -54,6 +54,7 @@ def _fwd_kernel(
     """Grid (B, H, Sq/block_q, Skv/block_k); online softmax over kv tiles."""
     qi = pl.program_id(2)
     ki = pl.program_id(3)
+    bi = pl.program_id(0)
 
     @pl.when(ki == 0)
     def _():
@@ -76,7 +77,7 @@ def _fwd_kernel(
 
         row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
-        mask = col < kvlen_ref[0, 0]                             # padding mask
+        mask = col < kvlen_ref[bi, 0]                             # padding mask
         if causal:
             mask = mask & (col <= row)
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
@@ -124,8 +125,7 @@ def _flash_fwd(q, k, v, kv_lengths, sm_scale, causal, block_q, block_k):
             pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0)),
             pl.BlockSpec((1, 1, bk, D), lambda b, h, i, j: (b, h, j, 0)),
             pl.BlockSpec((1, 1, bk, D), lambda b, h, i, j: (b, h, j, 0)),
-            pl.BlockSpec((1, 1), lambda b, h, i, j: (b, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0)),
@@ -160,6 +160,7 @@ def _bwd_dq_kernel(
     """dq: grid (B, H, Sq/bq, Skv/bk), accumulate over kv tiles."""
     qi = pl.program_id(2)
     ki = pl.program_id(3)
+    bi = pl.program_id(0)
 
     @pl.when(ki == 0)
     def _():
@@ -179,7 +180,7 @@ def _bwd_dq_kernel(
         )
         row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
-        mask = col < kvlen_ref[0, 0]
+        mask = col < kvlen_ref[bi, 0]
         if causal:
             mask = mask & (col <= row)
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
@@ -209,6 +210,7 @@ def _bwd_dkv_kernel(
     """dk/dv: grid (B, H, Skv/bk, Sq/bq), accumulate over q tiles."""
     ki = pl.program_id(2)
     qi = pl.program_id(3)
+    bi = pl.program_id(0)
 
     @pl.when(qi == 0)
     def _():
@@ -229,7 +231,7 @@ def _bwd_dkv_kernel(
         )
         row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
-        mask = col < kvlen_ref[0, 0]
+        mask = col < kvlen_ref[bi, 0]
         if causal:
             mask = mask & (col <= row)
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
@@ -274,7 +276,7 @@ def _flash_bwd(q, k, v, kv_lengths, o, l, m, do, sm_scale, causal, block_q, bloc
         pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0)),   # q
         pl.BlockSpec((1, 1, bk, D), lambda b, h, i, j: (b, h, j, 0)),   # k
         pl.BlockSpec((1, 1, bk, D), lambda b, h, i, j: (b, h, j, 0)),   # v
-        pl.BlockSpec((1, 1), lambda b, h, i, j: (b, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0)),   # do
         pl.BlockSpec((1, 1, bq), lambda b, h, i, j: (b, h, i)),         # l
         pl.BlockSpec((1, 1, bq), lambda b, h, i, j: (b, h, i)),         # m
@@ -298,7 +300,7 @@ def _flash_bwd(q, k, v, kv_lengths, o, l, m, do, sm_scale, causal, block_q, bloc
         pl.BlockSpec((1, 1, bq, D), lambda b, h, j, i: (b, h, i, 0)),   # q
         pl.BlockSpec((1, 1, bk, D), lambda b, h, j, i: (b, h, j, 0)),   # k
         pl.BlockSpec((1, 1, bk, D), lambda b, h, j, i: (b, h, j, 0)),   # v
-        pl.BlockSpec((1, 1), lambda b, h, j, i: (b, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 1, bq, D), lambda b, h, j, i: (b, h, i, 0)),   # do
         pl.BlockSpec((1, 1, bq), lambda b, h, j, i: (b, h, i)),         # l
         pl.BlockSpec((1, 1, bq), lambda b, h, j, i: (b, h, i)),         # m
