@@ -101,8 +101,9 @@ def _fwd_kernel(
         l = l_scr[:]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0, 0] = (acc_scr[:] * l_inv).astype(o_ref.dtype)
-        l_ref[0, 0] = l[:, 0]
-        m_ref[0, 0] = m_scr[:][:, 0]
+        # l/m carry a 128-lane trailing dim (min TPU block); lane-broadcast
+        l_ref[0, 0] = jnp.broadcast_to(l, (l.shape[0], 128))
+        m_ref[0, 0] = jnp.broadcast_to(m_scr[:], (l.shape[0], 128))
 
 
 @functools.partial(
@@ -129,13 +130,13 @@ def _flash_fwd(q, k, v, kv_lengths, sm_scale, causal, block_q, block_k):
         ],
         out_specs=[
             pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, bq), lambda b, h, i, j: (b, h, i)),
-            pl.BlockSpec((1, 1, bq), lambda b, h, i, j: (b, h, i)),
+            pl.BlockSpec((1, 1, bq, 128), lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, bq, 128), lambda b, h, i, j: (b, h, i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, H, Sq, D), q.dtype),
-            jax.ShapeDtypeStruct((B, H, Sq), jnp.float32),
-            jax.ShapeDtypeStruct((B, H, Sq), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, Sq, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, Sq, 128), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bq, 1), jnp.float32),
@@ -185,15 +186,15 @@ def _bwd_dq_kernel(
             mask = mask & (col <= row)
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
-        m = m_ref[0, 0][:, None]
-        l = l_ref[0, 0][:, None]
+        m = m_ref[0, 0][:, :1]
+        l = l_ref[0, 0][:, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         p = jnp.exp(s - m) * l_inv                             # softmax probs
         do = do_ref[0, 0].astype(jnp.float32)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        di = di_ref[0, 0][:, None]
+        di = di_ref[0, 0][:, :1]
         ds = p * (dp - di) * sm_scale
         dq_scr[:] += jnp.dot(ds, k, preferred_element_type=jnp.float32)
 
@@ -236,8 +237,8 @@ def _bwd_dkv_kernel(
             mask = mask & (col <= row)
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
-        m = m_ref[0, 0][:, None]
-        l = l_ref[0, 0][:, None]
+        m = m_ref[0, 0][:, :1]
+        l = l_ref[0, 0][:, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         p = jnp.exp(s - m) * l_inv                             # [bq, bk]
         do = do_ref[0, 0].astype(jnp.float32)                  # [bq, d]
@@ -248,7 +249,7 @@ def _bwd_dkv_kernel(
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        di = di_ref[0, 0][:, None]
+        di = di_ref[0, 0][:, :1]
         ds = p * (dp - di) * sm_scale                          # [bq, bk]
         # dk += dS^T @ q
         dk_scr[:] += jax.lax.dot_general(
@@ -270,7 +271,8 @@ def _flash_bwd(q, k, v, kv_lengths, o, l, m, do, sm_scale, causal, block_q, bloc
     bq = min(block_q, _pick(Sq))
     bk = min(block_k, _pick(Skv))
 
-    di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)  # [B,H,Sq]
+    di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
+    di = jnp.broadcast_to(di[..., None], (*di.shape, 128))  # lane-broadcast
 
     common_in = [
         pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0)),   # q
@@ -278,9 +280,9 @@ def _flash_bwd(q, k, v, kv_lengths, o, l, m, do, sm_scale, causal, block_q, bloc
         pl.BlockSpec((1, 1, bk, D), lambda b, h, i, j: (b, h, j, 0)),   # v
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0)),   # do
-        pl.BlockSpec((1, 1, bq), lambda b, h, i, j: (b, h, i)),         # l
-        pl.BlockSpec((1, 1, bq), lambda b, h, i, j: (b, h, i)),         # m
-        pl.BlockSpec((1, 1, bq), lambda b, h, i, j: (b, h, i)),         # di
+        pl.BlockSpec((1, 1, bq, 128), lambda b, h, i, j: (b, h, i, 0)),  # l
+        pl.BlockSpec((1, 1, bq, 128), lambda b, h, i, j: (b, h, i, 0)),  # m
+        pl.BlockSpec((1, 1, bq, 128), lambda b, h, i, j: (b, h, i, 0)),  # di
     ]
 
     dq = pl.pallas_call(
@@ -302,9 +304,9 @@ def _flash_bwd(q, k, v, kv_lengths, o, l, m, do, sm_scale, causal, block_q, bloc
         pl.BlockSpec((1, 1, bk, D), lambda b, h, j, i: (b, h, j, 0)),   # v
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 1, bq, D), lambda b, h, j, i: (b, h, i, 0)),   # do
-        pl.BlockSpec((1, 1, bq), lambda b, h, j, i: (b, h, i)),         # l
-        pl.BlockSpec((1, 1, bq), lambda b, h, j, i: (b, h, i)),         # m
-        pl.BlockSpec((1, 1, bq), lambda b, h, j, i: (b, h, i)),         # di
+        pl.BlockSpec((1, 1, bq, 128), lambda b, h, j, i: (b, h, i, 0)),  # l
+        pl.BlockSpec((1, 1, bq, 128), lambda b, h, j, i: (b, h, i, 0)),  # m
+        pl.BlockSpec((1, 1, bq, 128), lambda b, h, j, i: (b, h, i, 0)),  # di
     ]
     dk, dv = pl.pallas_call(
         functools.partial(
