@@ -66,9 +66,9 @@ def _scale_rows(v: jax.Array, am: jax.Array, block_size: int) -> jax.Array:
     return (v3 * am[:, None, :]).reshape(r, c)
 
 
-def _qmm_fwd_kernel(
+def _fwd_body(
     xl_ref, xh_ref, p_ref, aml_ref, amh_ref, tab_ref, o_ref, acc_ref,
-    *, block_size, n_slices, out_dtype,
+    sc_ref, off_ref, *, block_size, n_slices, out_dtype,
 ):
     """One (i, j, k) grid step of y[M,N] = x[M,K] @ dequant(W)[K,N].
 
@@ -81,7 +81,9 @@ def _qmm_fwd_kernel(
     slices because the dynamic_gather decode needs a single-vreg-wide
     source.  The absmax arrives pre-reshaped to [steps, nb, N] and gridded
     (1, nb, TN) per nibble plane — nb is often not 8-aligned, so in-kernel
-    dynamic row slicing would be illegal on TPU.
+    dynamic row slicing would be illegal on TPU.  When sc_ref/off_ref are
+    given, absmax is int8 and double-quant is undone in-kernel (per-column
+    meta-scales — valid whenever K ≤ 16384).
     """
     k = pl.program_id(2)
 
@@ -99,6 +101,12 @@ def _qmm_fwd_kernel(
         high = p32 >> 4
         aml = aml_ref[0, :, sl]
         amh = amh_ref[0, :, sl]
+        if sc_ref is not None:
+            # double-quant fused in-kernel: int8 absmax · (scale/127) + offset
+            sc = sc_ref[0, sl] * (1.0 / 127.0)
+            off = off_ref[0, 0]
+            aml = aml.astype(jnp.float32) * sc + off
+            amh = amh.astype(jnp.float32) * sc + off
         wls.append(
             _scale_rows(jnp.take_along_axis(tab, low, axis=1), aml, block_size)
             .astype(jnp.bfloat16)
@@ -118,6 +126,14 @@ def _qmm_fwd_kernel(
     @pl.when(k == pl.num_programs(2) - 1)
     def _():
         o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+def _qmm_fwd_kernel(xl, xh, p, aml, amh, tab, o, acc, **kw):
+    _fwd_body(xl, xh, p, aml, amh, tab, o, acc, None, None, **kw)
+
+
+def _qmm_fwd_kernel_dq(xl, xh, p, aml, amh, sc, off, tab, o, acc, **kw):
+    _fwd_body(xl, xh, p, aml, amh, tab, o, acc, sc, off, **kw)
 
 
 def _qmm_bwd_kernel(
@@ -227,6 +243,62 @@ def _qmm_pallas(x, packed, am, shape, block_size, quant_type, out_dtype=jnp.bflo
 @functools.partial(
     jax.jit, static_argnames=("shape", "block_size", "quant_type", "out_dtype")
 )
+def _qmm_pallas_dq(
+    x, packed, am_q, am_sc, am_off, shape, block_size, quant_type,
+    out_dtype=jnp.bfloat16,
+):
+    """Like _qmm_pallas, but absmax stays int8 and is dequantized in-kernel
+    (requires per-column meta-scales, i.e. K // block_size ≤ 256)."""
+    K, N = shape
+    K2 = K // 2
+    M = x.shape[0]
+    code = CODEBOOKS[quant_type]
+
+    TKp = _pick_tile(K2, (512, 256, 128))
+    xp = _pad_rows(x.astype(jnp.bfloat16), 16)
+    Mp = xp.shape[0]
+    TM = _pick_tile(Mp, (1024, 512, 256, 128, 64, 32, 16))
+    TN = 128 if TM <= 64 else _pick_tile(N, (512, 256, 128))
+
+    grid = (Mp // TM, N // TN, K2 // TKp)
+    nb = TKp // block_size
+    koff = K2 // TKp
+    am_rows = K // block_size
+    am3 = am_q.reshape(am_rows // nb, nb, N)
+    off2 = am_off.reshape(1, 1)
+    tab = jnp.tile(jnp.asarray(code)[None, :], (TKp, 128 // 16))
+    out = pl.pallas_call(
+        functools.partial(
+            _qmm_fwd_kernel_dq, block_size=block_size,
+            n_slices=TN // 128, out_dtype=out_dtype,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TM, TKp), lambda i, j, k: (i, k)),
+            pl.BlockSpec((TM, TKp), lambda i, j, k: (i, k + koff)),
+            pl.BlockSpec((TKp, TN), lambda i, j, k: (k, j)),
+            pl.BlockSpec((1, nb, TN), lambda i, j, k: (k, 0, j)),
+            pl.BlockSpec((1, nb, TN), lambda i, j, k: (k + koff, 0, j)),
+            pl.BlockSpec((1, TN), lambda i, j, k: (0, j)),             # meta-scale
+            pl.BlockSpec(memory_space=pltpu.SMEM),                     # offset
+            pl.BlockSpec((TKp, 128), lambda i, j, k: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((TM, TN), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((TM, TN), jnp.float32)],
+        interpret=_use_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * K * N,
+            bytes_accessed=Mp * K * 2 + K * N // 2 + K * N // block_size + Mp * N * 2,
+            transcendentals=0,
+        ),
+    )(xp, xp, packed, am3, am3, am_sc, off2, tab)
+    return out[:M] if Mp != M else out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("shape", "block_size", "quant_type", "out_dtype")
+)
 def _qmm_bwd_pallas(g, packed, am, shape, block_size, quant_type, out_dtype=jnp.bfloat16):
     """dx = g @ dequant(packed, am)ᵀ; g [M, N] → [M, K]."""
     K, N = shape
@@ -316,9 +388,23 @@ def _resolve_impl(impl: Impl, K, N) -> str:
     return impl
 
 
+def _dq_fusable(qt: QuantizedTensor) -> bool:
+    """In-kernel double-quant undo needs one meta-block per column."""
+    return (
+        qt.double_quant
+        and qt.absmax_scale.shape[0] == 1
+        and qt.shape[0] // qt.block_size >= 8  # int8 sublane tiling floor
+    )
+
+
 def _qmm_forward(x, qt, impl):
     K, N = qt.shape
     if _resolve_impl(impl, K, N) == "pallas":
+        if _dq_fusable(qt):
+            return _qmm_pallas_dq(
+                x, qt.packed, qt.absmax, qt.absmax_scale, qt.absmax_offset,
+                qt.shape, qt.block_size, qt.quant_type, out_dtype=jnp.bfloat16,
+            )
         am = absmax_f32(qt)
         return _qmm_pallas(
             x, qt.packed, am, qt.shape, qt.block_size, qt.quant_type,
