@@ -393,21 +393,33 @@ def _dq_fusable(qt: QuantizedTensor) -> bool:
     return (
         qt.double_quant
         and qt.absmax_scale.shape[0] == 1
-        and qt.shape[0] // qt.block_size >= 8  # int8 sublane tiling floor
+        and qt.absmax.shape[0] >= 8  # int8 sublane tiling floor
     )
 
 
+def _absmax_f32_local(qt: QuantizedTensor, K: int, N: int):
+    """absmax_f32 computed against leaf-derived (possibly sharded) dims."""
+    from qlora_tpu.quant.blockwise import dequantize_absmax
+
+    target = (K // qt.block_size, N)
+    if qt.double_quant:
+        return dequantize_absmax(qt.absmax, qt.absmax_scale, qt.absmax_offset, target)
+    return qt.absmax.astype(jnp.float32)
+
+
 def _qmm_forward(x, qt, impl):
-    K, N = qt.shape
+    # derive dims from the leaves, not qt.shape metadata: under shard_map the
+    # leaves are per-device shards and the static shape describes the global
+    K, N = 2 * qt.packed.shape[0], qt.packed.shape[1]
     if _resolve_impl(impl, K, N) == "pallas":
         if _dq_fusable(qt):
             return _qmm_pallas_dq(
                 x, qt.packed, qt.absmax, qt.absmax_scale, qt.absmax_offset,
-                qt.shape, qt.block_size, qt.quant_type, out_dtype=jnp.bfloat16,
+                (K, N), qt.block_size, qt.quant_type, out_dtype=jnp.bfloat16,
             )
-        am = absmax_f32(qt)
+        am = _absmax_f32_local(qt, K, N)
         return _qmm_pallas(
-            x, qt.packed, am, qt.shape, qt.block_size, qt.quant_type,
+            x, qt.packed, am, (K, N), qt.block_size, qt.quant_type,
             out_dtype=jnp.bfloat16,
         )
     w = dequantize(qt, dtype=jnp.bfloat16)
@@ -421,11 +433,11 @@ def _qmm_fwd_rule(x, qt, impl):
 
 
 def _qmm_bwd_rule(impl, qt, g):
-    K, N = qt.shape
+    K, N = 2 * qt.packed.shape[0], qt.packed.shape[1]
     if _resolve_impl(impl, K, N) == "pallas":
-        am = absmax_f32(qt)
+        am = _absmax_f32_local(qt, K, N)
         dx = _qmm_bwd_pallas(
-            g, qt.packed, am, qt.shape, qt.block_size, qt.quant_type,
+            g, qt.packed, am, (K, N), qt.block_size, qt.quant_type,
             out_dtype=jnp.bfloat16,
         )
     else:

@@ -160,8 +160,11 @@ def quantize(
 
 
 def absmax_f32(qt: QuantizedTensor) -> jax.Array:
-    """The per-block absmax as f32 [K//B, N], undoing double quant if present."""
-    K, N = qt.shape
+    """The per-block absmax as f32 [K//B, N], undoing double quant if present.
+
+    Dims come from the leaves (not `shape` metadata) so per-device shards
+    under shard_map dequantize correctly."""
+    K, N = 2 * qt.packed.shape[0], qt.packed.shape[1]
     target = (K // qt.block_size, N)
     if qt.double_quant:
         return dequantize_absmax(qt.absmax, qt.absmax_scale, qt.absmax_offset, target)
@@ -178,8 +181,10 @@ def unpack_indices(packed: jax.Array, block_size: int = DEFAULT_BLOCK) -> jax.Ar
 
 @partial(jax.jit, static_argnames=("dtype",))
 def dequantize(qt: QuantizedTensor, dtype=jnp.bfloat16) -> jax.Array:
-    """Reconstruct the weight ``W[K, N]`` in `dtype` (pure-jnp reference path)."""
-    K, N = qt.shape
+    """Reconstruct the weight ``W[K, N]`` in `dtype` (pure-jnp reference path).
+
+    Leaf-derived dims (shard_map-safe)."""
+    K, N = 2 * qt.packed.shape[0], qt.packed.shape[1]
     code = get_code(qt.quant_type)
     idx = unpack_indices(qt.packed, qt.block_size)
     vals = code[idx.astype(jnp.int32)]  # f32 [K, N]
