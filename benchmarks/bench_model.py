@@ -6,9 +6,11 @@ Measures, for a ~1B-param LLaMA-architecture model (random NF4 weights):
   * prefill throughput (tokens/s);
   * LoRA train-step time (tokens/s) with remat.
 
-Timing uses queued-dispatch batches of identical steps; the decode loop is
-chained through the KV cache (real data dependency), so relay caching cannot
-elide work.
+Timing note: on the dev box's axon relay, jax.block_until_ready can resolve
+BEFORE device execution finishes; every timed region here therefore ends with
+np.asarray(...) of the result (host materialization cannot be faked for
+uncached, data-dependent outputs).  Numbers are upper bounds (the first
+materialization may include device-side warm-up).
 """
 
 import argparse
@@ -18,6 +20,7 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -59,19 +62,19 @@ def bench_decode(cfg, params, B, steps=64, prompt_len=128, max_len=512):
     lengths = jnp.full((B,), prompt_len, jnp.int32)
     cache = init_cache(cfg, B, max_len)
     last, cache = prefill(params, None, ids, lengths, cfg, lcfg, cache=cache)
-    toks, cache = decode_loop(
+    toks, cache2 = decode_loop(
         params, None, last, cache, jnp.zeros((B, cfg.vocab_size), bool),
         jax.random.PRNGKey(0), cfg=cfg, lcfg=lcfg, sparams=SamplingParams(),
         max_new_tokens=8, eos_id=-1,
     )
-    jax.block_until_ready(toks)
+    np.asarray(toks)  # force real completion of warmup
     t0 = time.perf_counter()
-    toks, cache = decode_loop(
-        params, None, last, cache, jnp.zeros((B, cfg.vocab_size), bool),
+    toks, cache2 = decode_loop(
+        params, None, last + 1e-5, cache, jnp.zeros((B, cfg.vocab_size), bool),
         jax.random.PRNGKey(0), cfg=cfg, lcfg=lcfg, sparams=SamplingParams(),
         max_new_tokens=steps, eos_id=-1,
     )
-    jax.block_until_ready(toks)
+    np.asarray(toks)  # host materialization = honest completion barrier
     dt = time.perf_counter() - t0
     tps = B * steps / dt
     print(f"decode  B={B:3d}: {dt/steps*1e3:7.2f} ms/step  {tps:8.1f} tok/s",
@@ -83,12 +86,12 @@ def bench_prefill(cfg, params, B=4, S=512):
     lcfg = LoraConfig(r=16)
     ids = jax.random.randint(jax.random.PRNGKey(1), (B, S), 0, cfg.vocab_size)
     f = jax.jit(lambda p, i: forward(p, None, i, cfg, lcfg)[0])
-    y = f(params, ids); jax.block_until_ready(y)
-    reps = 8
+    np.asarray(f(params, ids))
+    reps = 4
     t0 = time.perf_counter()
-    for _ in range(reps):
-        y = f(params, ids)
-    jax.block_until_ready(y)
+    for r in range(reps):
+        y = f(params, ids + r)  # distinct inputs defeat relay caching
+        np.asarray(y[:, -1, :8])
     dt = (time.perf_counter() - t0) / reps
     print(f"prefill B={B} S={S}: {dt*1e3:7.2f} ms  {B*S/dt:9.0f} tok/s", flush=True)
 
@@ -103,11 +106,12 @@ def bench_train(cfg, params, B=8, S=512, steps=8):
     batch = {"input_ids": ids, "attention_mask": jnp.ones_like(ids),
              "labels": ids}
     state, m = step(state, params, batch, jax.random.PRNGKey(0))
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
     t0 = time.perf_counter()
     for i in range(steps):
-        state, m = step(state, params, batch, jax.random.PRNGKey(i))
-    jax.block_until_ready(m["loss"])
+        batch2 = dict(batch, input_ids=(ids + i) % cfg.vocab_size)
+        state, m = step(state, params, batch2, jax.random.PRNGKey(i))
+        float(m["loss"])  # host round-trip per step: honest barrier
     dt = (time.perf_counter() - t0) / steps
     print(f"train   B={B} S={S}: {dt*1e3:7.2f} ms/step  {B*S/dt:9.0f} tok/s",
           flush=True)

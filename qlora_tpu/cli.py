@@ -158,14 +158,22 @@ def build_model_and_tokenizer(args: Args):
         raise ValueError(f"bits={args.bits} not supported (4, 16, 32)")
 
     if not args.init_random and os.path.isdir(args.model_name_or_path):
-        from qlora_tpu.utils.hf_import import load_hf_model
-
-        params, cfg = load_hf_model(
-            args.model_name_or_path,
-            quantize_base=quantize_base,
-            quant_type=args.quant_type,
-            double_quant=args.double_quant,
+        pre_quantized = os.path.exists(
+            os.path.join(args.model_name_or_path, "qlora_tpu_config.json")
         )
+        if pre_quantized:
+            from qlora_tpu.utils.quantized_store import load_quantized
+
+            params, cfg = load_quantized(args.model_name_or_path)
+        else:
+            from qlora_tpu.utils.hf_import import load_hf_model
+
+            params, cfg = load_hf_model(
+                args.model_name_or_path,
+                quantize_base=quantize_base,
+                quant_type=args.quant_type,
+                double_quant=args.double_quant,
+            )
     else:
         cfg = get_config(args.model_name_or_path)
         params = init_params(

@@ -43,12 +43,32 @@ def _path_str(path) -> str:
     return "/".join(parts)
 
 
+BF16_SUFFIX = "__bf16"
+
+
 def save_pytree(path: str, tree: Any) -> None:
-    """Save an arbitrary pytree of arrays as a path-keyed npz."""
+    """Save an arbitrary pytree of arrays as a path-keyed npz.
+
+    bfloat16 leaves are stored as uint16 bit patterns (npz can't serialize
+    ml_dtypes) with a key suffix marking the real dtype.
+    """
     flat = jax.tree_util.tree_flatten_with_path(tree)[0]
-    arrays = {_path_str(p): np.asarray(v) for p, v in flat}
+    arrays = {}
+    for p, v in flat:
+        a = np.asarray(v)
+        key = _path_str(p)
+        if a.dtype == jnp_bfloat16():
+            arrays[key + BF16_SUFFIX] = a.view(np.uint16)
+        else:
+            arrays[key] = a
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     np.savez(path, **arrays)
+
+
+def jnp_bfloat16():
+    import ml_dtypes
+
+    return np.dtype(ml_dtypes.bfloat16)
 
 
 def load_pytree(path: str, like: Any) -> Any:
@@ -58,9 +78,12 @@ def load_pytree(path: str, like: Any) -> Any:
     leaves = []
     for p, v in flat:
         key = _path_str(p)
-        if key not in data:
+        if key + BF16_SUFFIX in data:
+            arr = data[key + BF16_SUFFIX].view(jnp_bfloat16())
+        elif key in data:
+            arr = data[key]
+        else:
             raise KeyError(f"checkpoint missing leaf {key!r}")
-        arr = data[key]
         if hasattr(v, "dtype") and arr.dtype != v.dtype:
             arr = arr.astype(v.dtype)
         leaves.append(arr)
