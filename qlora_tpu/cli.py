@@ -321,6 +321,9 @@ def train(args: Args) -> dict:
             accum_steps=args.gradient_accumulation_steps,
             donate=False, mode=mode,
         )
+        eval_fn = make_eval_step(cfg, lcfg, mode=mode) if (
+            args.do_eval and eval_ds
+        ) else None
         max_len = args.source_max_len + args.target_max_len
         batches = _iter_batches(
             train_ds, collator, args.per_device_train_batch_size,
@@ -352,9 +355,23 @@ def train(args: Args) -> dict:
                 save_checkpoint(args.output_dir, step + 1, state.trainable,
                                 state.opt_state)
                 _prune_checkpoints(args.output_dir, args.save_total_limit)
-            if args.do_mmlu_eval and args.eval_steps and (step + 1) % args.eval_steps == 0:
-                all_metrics.update(_run_mmlu(args, params, state, cfg, lcfg,
-                                             tokenizer, mode))
+            if args.eval_steps and (step + 1) % args.eval_steps == 0:
+                # in-training eval cadence (reference: evaluation_strategy
+                # steps + MMLUEvalCallback.on_evaluate)
+                if eval_fn is not None:
+                    ev_loss = _eval_pass(args, eval_fn, state, params, collator,
+                                         eval_ds)
+                    logger.info("step %d: eval_loss %.4f", step + 1, ev_loss)
+                    mlogger.log({"eval_loss": ev_loss}, step=step + 1)
+                if args.do_mmlu_eval:
+                    res = _run_mmlu(args, params, state, cfg, lcfg,
+                                    tokenizer, mode)
+                    all_metrics.update(res)
+                    mlogger.log(
+                        {k: v for k, v in res.items()
+                         if k in ("mmlu_loss", "mmlu_eval_accuracy")},
+                        step=step + 1,
+                    )
         save_checkpoint(args.output_dir, args.max_steps, state.trainable,
                         state.opt_state)
         mark_completed(args.output_dir)
@@ -396,6 +413,33 @@ def train(args: Args) -> dict:
     return all_metrics
 
 
+def _eval_pass(args, eval_fn, state, params, collator, eval_ds) -> float:
+    import jax.numpy as jnp
+
+    bs = max(args.per_device_eval_batch_size, 1)
+    tot, n_tot = 0.0, 0
+    save_pad = collator.pad_to
+    collator.pad_to = args.source_max_len + args.target_max_len
+    for i in range(0, len(eval_ds) - bs + 1, bs):
+        b = {k: jnp.asarray(v) for k, v in collator(eval_ds[i : i + bs]).items()}
+        loss, n = eval_fn(state.trainable, params, b)
+        tot += float(loss) * int(n)
+        n_tot += int(n)
+    collator.pad_to = save_pad
+    return tot / max(n_tot, 1)
+
+
+def _resolve_mmlu_path(args) -> Optional[str]:
+    """--mmlu_dataset mmlu-zs|mmlu-fs + --mmlu_split eval|test → data file
+    (reference path scheme, qlora.py:722-733); explicit --mmlu_data_path wins."""
+    if args.mmlu_data_path:
+        return args.mmlu_data_path
+    tag = "zero_shot" if args.mmlu_dataset == "mmlu-zs" else "five_shot"
+    split = "val" if args.mmlu_split in ("eval", "val") else "test"
+    cand = os.path.join("data", "mmlu", f"{tag}_mmlu_{split}.json")
+    return cand if os.path.exists(cand) else None
+
+
 def _prune_checkpoints(output_dir: str, keep: int):
     """save_total_limit semantics: delete oldest checkpoint dirs beyond keep."""
     import re
@@ -415,10 +459,14 @@ def _prune_checkpoints(output_dir: str, keep: int):
 def _run_mmlu(args, params, state, cfg, lcfg, tokenizer, mode):
     from qlora_tpu.eval import evaluate_mmlu, load_mmlu_file
 
-    if not args.mmlu_data_path:
-        logger.warning("do_mmlu_eval set but no --mmlu_data_path; skipping")
+    path = _resolve_mmlu_path(args)
+    if not path:
+        logger.warning(
+            "do_mmlu_eval set but no MMLU data found (--mmlu_data_path or "
+            "data/mmlu/, see scripts/get_mmlu_data.py); skipping"
+        )
         return {}
-    examples = load_mmlu_file(args.mmlu_data_path, args.max_mmlu_samples)
+    examples = load_mmlu_file(path, args.max_mmlu_samples)
     lora = state.trainable if mode == "lora" else None
     base = params if mode == "lora" else state.trainable
     res = evaluate_mmlu(

@@ -115,3 +115,28 @@ def test_resume_from_checkpoint(tmp_path):
     m = train(Args(max_steps=6, **base))
     steps = [h["step"] for h in m["train_metrics"]]
     assert steps == [4, 5, 6]  # resumed at 3, not restarted
+
+
+def test_in_training_eval_and_mmlu(tmp_path):
+    data = _write_alpaca(tmp_path, n=32)
+    mmlu = tmp_path / "mmlu.json"
+    mmlu.write_text(json.dumps([
+        {"subject": "s", "input": "Which? Answer:", "output": "A"},
+        {"subject": "s", "input": "Pick. Answer:", "output": "B"},
+    ]))
+    out = str(tmp_path / "out2")
+    args = Args(
+        model_name_or_path="debug-neox", init_random=True, fake_tokenizer=True,
+        dataset=data, output_dir=out, max_steps=6,
+        per_device_train_batch_size=2, gradient_accumulation_steps=1,
+        lora_r=4, source_max_len=32, target_max_len=16, logging_steps=2,
+        save_steps=100, group_by_length=False,
+        do_eval=True, eval_dataset_size=4, max_eval_samples=4,
+        per_device_eval_batch_size=2, eval_steps=3,
+        do_mmlu_eval=True, mmlu_data_path=str(mmlu), mmlu_source_max_len=64,
+    )
+    m = train(args)
+    assert "mmlu_eval_accuracy" in m
+    log = [json.loads(l) for l in open(os.path.join(out, "train_log.jsonl"))]
+    assert any("eval_loss" in r for r in log)      # in-training eval fired
+    assert any("mmlu_eval_accuracy" in r for r in log)
