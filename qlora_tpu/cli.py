@@ -310,6 +310,7 @@ def train(args: Args) -> dict:
     if args.do_train and start_step < args.max_steps:
         train_ds, eval_ds = make_dataset(
             args.dataset,
+            dataset_format=args.dataset_format,
             do_eval=args.do_eval or args.do_predict,
             eval_dataset_size=args.eval_dataset_size,
             max_train_samples=args.max_train_samples,
@@ -379,8 +380,9 @@ def train(args: Args) -> dict:
 
     if args.do_eval:
         _, eval_ds = make_dataset(
-            args.dataset, do_eval=True, eval_dataset_size=args.eval_dataset_size,
-            max_eval_samples=args.max_eval_samples, seed=42,
+            args.dataset, dataset_format=args.dataset_format, do_eval=True,
+            eval_dataset_size=args.eval_dataset_size,
+            max_eval_samples=args.max_eval_samples, seed=data_seed,
         )
         ev = make_eval_step(cfg, lcfg, mode=mode)
         tot, n_tot = 0.0, 0
@@ -486,7 +488,8 @@ def _run_predict(args, params, state, cfg, lcfg, tokenizer, collator, mode):
     from qlora_tpu.train.data import make_dataset
 
     _, predict_ds = make_dataset(
-        args.dataset, do_eval=True, eval_dataset_size=args.eval_dataset_size,
+        args.dataset, dataset_format=args.dataset_format, do_eval=True,
+        eval_dataset_size=args.eval_dataset_size,
         max_eval_samples=args.max_eval_samples, seed=42,
     )
     collator.predict_with_generate = True

@@ -132,14 +132,20 @@ def split_train_eval(
 def make_dataset(
     name: str,
     *,
+    dataset_format: Optional[str] = None,
     do_eval: bool = False,
     eval_dataset_size: float = 0.1,
     max_train_samples: Optional[int] = None,
     max_eval_samples: Optional[int] = None,
     seed: int = 42,
 ):
-    """Full pipeline: load → format → split.  Returns (train, eval | None)."""
+    """Full pipeline: load → format → split.  Returns (train, eval | None).
+
+    dataset_format overrides the registry's format key (reference
+    --dataset_format, qlora.py:123-126,602-633).
+    """
     raw, fmt = load_dataset_by_name(name)
+    fmt = dataset_format or fmt
     formatted = [format_example(ex, fmt) for ex in raw]
     if do_eval:
         return split_train_eval(
