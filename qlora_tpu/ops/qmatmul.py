@@ -193,14 +193,19 @@ def _qmm_pallas(x, packed, am, shape, block_size, quant_type, out_dtype=jnp.bflo
     M = x.shape[0]
     code = CODEBOOKS[quant_type]
 
-    TKp = _pick_tile(K2, (512, 256, 128))  # packed-row tile
     xp = _pad_rows(x.astype(jnp.bfloat16), 16)
     Mp = xp.shape[0]
     # big TM amortizes the per-(j,k) decode over many rows of x
     TM = _pick_tile(Mp, (1024, 512, 256, 128, 64, 32, 16))
-    # decode-bound small-M (serving): narrow tiles skip the slice/concat
-    # relayouts; compute-bound large-M: wide DMA tiles + big dots win
-    TN = 128 if TM <= 64 else _pick_tile(N, (512, 256, 128))
+    # decode-bound small-M (serving): long K tiles (fewer grid steps) and
+    # narrow TN (skip slice/concat relayouts); compute-bound large-M: wide
+    # DMA tiles + big dots win
+    if TM <= 64:
+        TKp = _pick_tile(K2, (1024, 512, 256, 128))
+        TN = 128
+    else:
+        TKp = _pick_tile(K2, (512, 256, 128))
+        TN = _pick_tile(N, (512, 256, 128))
 
     grid = (Mp // TM, N // TN, K2 // TKp)
     nb = TKp // block_size          # absmax rows per tile

@@ -112,9 +112,15 @@ def _to_f32(arr: np.ndarray) -> jnp.ndarray:
     return jnp.asarray(arr, dtype=jnp.float32)
 
 
-def _import_linear(get, wname, bname, quantize_base, qkw) -> QLinear | DenseLinear:
+def _import_linear(
+    get, wname, bname, quantize_base, qkw, pad_in=0, pad_out=0
+) -> QLinear | DenseLinear:
     w = _to_f32(get(wname)).T  # HF [out, in] → ours [in, out]
     bias = _to_f32(get(bname)) if bname and bname in get.names else None
+    if pad_in or pad_out:
+        w = jnp.pad(w, ((0, pad_in), (0, pad_out)))
+        if bias is not None and pad_out:
+            bias = jnp.pad(bias, (0, pad_out))
     if quantize_base:
         # large tensors: threaded native C++ quantizer (checkpoint-conversion
         # hot path); small ones aren't worth the host round-trip
@@ -136,11 +142,26 @@ def load_hf_model(
     quantize_base: bool = True,
     quant_type: str = "nf4",
     double_quant: bool = True,
+    pad_intermediate_to: Optional[int] = None,
 ) -> tuple[dict, ModelConfig]:
-    """Import an HF checkpoint directory into our param pytree."""
+    """Import an HF checkpoint directory into our param pytree.
+
+    pad_intermediate_to: round the MLP intermediate dim up to a multiple of
+    this (zero-padding weights — a mathematical no-op for SwiGLU/GELU MLPs)
+    so shards satisfy N/(fsdp·tp) % 128 on the mesh (e.g. LLaMA's 11008 →
+    11264 for 8-way model sharding).
+    """
+    import dataclasses as _dc
+
     import jax
 
     cfg = cfg or read_hf_config(path)
+    pad_inter = 0
+    if pad_intermediate_to:
+        tgt = -(-cfg.intermediate_size // pad_intermediate_to) * pad_intermediate_to
+        pad_inter = tgt - cfg.intermediate_size
+        if pad_inter:
+            cfg = _dc.replace(cfg, intermediate_size=tgt)
     get = _tensor_reader(path)
     qkw = {"quant_type": quant_type, "double_quant": double_quant}
 
@@ -152,10 +173,15 @@ def load_hf_model(
             "w_gate": "mlp.gate_proj", "w_up": "mlp.up_proj",
             "w_down": "mlp.down_proj",
         }
+        inter_pad = {
+            "w_gate": (0, pad_inter), "w_up": (0, pad_inter),
+            "w_down": (pad_inter, 0),
+        }
         for i in range(cfg.num_layers):
             b = {
                 name: _import_linear(
-                    get, f"{pre}{i}.{hf}.weight", None, quantize_base, qkw
+                    get, f"{pre}{i}.{hf}.weight", None, quantize_base, qkw,
+                    *inter_pad.get(name, (0, 0)),
                 )
                 for name, hf in lin_map.items()
             }
@@ -175,11 +201,12 @@ def load_hf_model(
             "w_qkv": "attention.query_key_value", "wo": "attention.dense",
             "w_fc": "mlp.dense_h_to_4h", "w_out": "mlp.dense_4h_to_h",
         }
+        inter_pad = {"w_fc": (0, pad_inter), "w_out": (pad_inter, 0)}
         for i in range(cfg.num_layers):
             b = {
                 name: _import_linear(
                     get, f"{pre}{i}.{hf}.weight", f"{pre}{i}.{hf}.bias",
-                    quantize_base, qkw,
+                    quantize_base, qkw, *inter_pad.get(name, (0, 0)),
                 )
                 for name, hf in lin_map.items()
             }

@@ -81,3 +81,15 @@ def test_quantized_close_to_dense(tiny_llama):
     # NF4 on random-init weights: logits shift but ranking mostly holds
     corr = np.corrcoef(ld.reshape(-1), lq.reshape(-1))[0, 1]
     assert corr > 0.98, corr
+
+
+def test_pad_intermediate_is_noop(tiny_llama):
+    path, hf_model = tiny_llama
+    # 384 → 512 with pad_intermediate_to=256
+    params, cfg = load_hf_model(path, quantize_base=False, pad_intermediate_to=256)
+    assert cfg.intermediate_size == 512
+    ids = np.array([[1, 5, 9, 2]], dtype=np.int32)
+    with torch.no_grad():
+        ref = hf_model(torch.tensor(ids, dtype=torch.long)).logits.numpy()
+    ours, _ = forward(params, None, jnp.asarray(ids), cfg)
+    assert np.abs(np.asarray(ours, np.float32) - ref).max() < 0.15
