@@ -88,7 +88,14 @@ class Args:
     temperature: float = 1.0
     top_k: int = 50
     top_p: float = 1.0
+    typical_p: float = 1.0
     repetition_penalty: float = 1.0
+    no_repeat_ngram_size: int = 0
+    length_penalty: float = 1.0
+    diversity_penalty: float = 0.0
+    num_beam_groups: int = 1
+    penalty_alpha: Optional[float] = None
+    use_cache: bool = True
     # reference-compat flags accepted for script parity (some are no-ops on
     # TPU — the trainer always runs bf16 compute, single in-process host)
     cache_dir: Optional[str] = None
@@ -494,10 +501,16 @@ def _run_predict(args, params, state, cfg, lcfg, tokenizer, collator, mode):
     )
     collator.predict_with_generate = True
     collator.pad_to = args.source_max_len
+    if args.num_beam_groups > 1 or args.penalty_alpha:
+        raise NotImplementedError(
+            "group-beam / contrastive search not implemented yet "
+            "(num_beam_groups>1, penalty_alpha)"
+        )
     sp = SamplingParams(
         do_sample=args.do_sample, temperature=args.temperature,
-        top_k=args.top_k, top_p=args.top_p,
+        top_k=args.top_k, top_p=args.top_p, typical_p=args.typical_p,
         repetition_penalty=args.repetition_penalty,
+        no_repeat_ngram_size=args.no_repeat_ngram_size,
     )
     lora = state.trainable if mode == "lora" else None
     base = params if mode == "lora" else state.trainable
@@ -512,6 +525,9 @@ def _run_predict(args, params, state, cfg, lcfg, tokenizer, collator, mode):
             toks = generate(
                 base, lora, ids, lengths, cfg, lcfg,
                 max_new_tokens=args.max_new_tokens,
+                min_new_tokens=args.min_new_tokens or 0,
+                num_beams=args.num_beams,
+                length_penalty=args.length_penalty,
                 eos_id=tokenizer.eos_token_id, sparams=sp,
                 rng=jax.random.PRNGKey(args.seed),
             )

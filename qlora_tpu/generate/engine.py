@@ -88,6 +88,12 @@ def decode_loop(
                 & (jnp.arange(V)[None, :] == eos_id),
                 -jnp.inf, logits,
             )
+        if sparams.no_repeat_ngram_size > 0:
+            from qlora_tpu.generate.sampler import ban_repeated_ngrams
+
+            logits = ban_repeated_ngrams(
+                logits, out, t, sparams.no_repeat_ngram_size
+            )
         tok = sample_token(sub, logits, sparams, seen)
         tok = jnp.where(done, eos_id, tok)
         out = out.at[:, t].set(tok)
@@ -122,6 +128,7 @@ def generate(
     max_len: Optional[int] = None,
     min_new_tokens: int = 0,
     num_beams: int = 1,
+    length_penalty: float = 1.0,
 ) -> jax.Array:
     """Batch generation (the reference's trainer.predict path, qlora.py:817-834).
 
@@ -132,6 +139,7 @@ def generate(
             params, lora, ids, lengths, cfg, lcfg,
             max_new_tokens=max_new_tokens, eos_id=eos_id,
             num_beams=num_beams, max_len=max_len,
+            length_penalty=length_penalty,
         )
     B, S = ids.shape
     max_len = max_len or (S + max_new_tokens)

@@ -17,7 +17,9 @@ class SamplingParams(NamedTuple):
     temperature: float = 1.0
     top_k: int = 0            # 0 = disabled (HF: 50 default when sampling)
     top_p: float = 1.0
+    typical_p: float = 1.0    # typical decoding (GenerationArguments parity)
     repetition_penalty: float = 1.0
+    no_repeat_ngram_size: int = 0
 
 
 def apply_repetition_penalty(logits: jax.Array, seen_mask: jax.Array, penalty: float):
@@ -52,6 +54,55 @@ def top_p_mask(logits: jax.Array, p: float) -> jax.Array:
     return jnp.where(logits < cutoff_logit, -jnp.inf, logits)
 
 
+def typical_p_mask(logits: jax.Array, p: float) -> jax.Array:
+    """Typical decoding: keep tokens whose surprisal is closest to the
+    entropy, up to cumulative probability p (HF typical_p semantics)."""
+    if p >= 1.0:
+        return logits
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    probs = jnp.exp(logp)
+    ent = -jnp.sum(probs * jnp.where(probs > 0, logp, 0.0), axis=-1, keepdims=True)
+    shift = jnp.abs(-logp - ent)
+    order = jnp.argsort(shift, axis=-1)                      # ascending deviation
+    sorted_probs = jnp.take_along_axis(probs, order, axis=-1)
+    cum = jnp.cumsum(sorted_probs, axis=-1)
+    keep_sorted = (cum - sorted_probs) < p                    # always keep first
+    keep = jnp.zeros_like(keep_sorted).at[
+        jnp.arange(logits.shape[0])[:, None], order
+    ].set(keep_sorted)
+    return jnp.where(keep, logits, -jnp.inf)
+
+
+def ban_repeated_ngrams(
+    logits: jax.Array,          # [B, V]
+    history: jax.Array,         # [B, T] generated tokens so far (future = pad)
+    cur_len: jax.Array,         # scalar: number of valid tokens in history
+    n: int,
+) -> jax.Array:
+    """no_repeat_ngram_size over the generated sequence: ban any token that
+    would complete an n-gram already present in `history`."""
+    if n <= 0:
+        return logits
+    B, V = logits.shape
+    T = history.shape[1]
+    if T < n:
+        return logits
+    # the (n-1)-token suffix about to be extended
+    suffix = jax.lax.dynamic_slice_in_dim(
+        history, jnp.maximum(cur_len - (n - 1), 0), n - 1, axis=1
+    )  # [B, n-1]
+    starts = jnp.arange(T - n + 1)
+    wins = history[:, starts[:, None] + jnp.arange(n - 1)[None, :]]  # [B, S, n-1]
+    match = jnp.all(wins == suffix[:, None, :], axis=-1)
+    # window must lie fully within generated tokens
+    match = match & (starts[None, :] + n - 1 < cur_len) & (cur_len >= n - 1)
+    banned = history[:, starts + n - 1]                               # [B, S]
+    ban_mask = jnp.zeros((B, V), bool).at[
+        jnp.arange(B)[:, None], banned
+    ].max(match)
+    return jnp.where(ban_mask, -jnp.inf, logits)
+
+
 def sample_token(
     rng: jax.Array,
     logits: jax.Array,          # [B, V] f32
@@ -67,4 +118,5 @@ def sample_token(
         logits = logits / jnp.maximum(params.temperature, 1e-6)
     logits = top_k_mask(logits, params.top_k)
     logits = top_p_mask(logits, params.top_p)
+    logits = typical_p_mask(logits, params.typical_p)
     return jax.random.categorical(rng, logits, axis=-1)

@@ -148,3 +148,32 @@ def test_beam_search_beats_or_matches_greedy_logprob(model):
         return total
 
     assert seq_logprob(beam) >= seq_logprob(greedy) - 1e-3
+
+
+def test_typical_p_mask_keeps_probability_mass():
+    from qlora_tpu.generate.sampler import typical_p_mask
+    logits = jnp.asarray([[3.0, 2.0, 1.0, -3.0, -5.0]])
+    out = np.asarray(typical_p_mask(logits, 0.8))
+    assert np.isfinite(out).sum() >= 1
+    assert np.isinf(out).any()  # something filtered
+
+
+def test_no_repeat_ngram_bans_completion():
+    from qlora_tpu.generate.sampler import ban_repeated_ngrams
+    # history: [5, 7, 5] and suffix ... 5 → bigram (5,7) seen → ban 7
+    hist = jnp.asarray([[5, 7, 5, 0, 0]])
+    logits = jnp.zeros((1, 10))
+    out = np.asarray(ban_repeated_ngrams(logits, hist, jnp.int32(3), 2))
+    assert np.isinf(out[0, 7]) and out[0, 7] < 0
+    assert np.isfinite(out[0, 5])
+
+
+def test_no_repeat_ngram_in_generation(model):
+    cfg, params = model
+    ids = jnp.asarray([[3, 17]], jnp.int32)
+    sp = SamplingParams(no_repeat_ngram_size=2)
+    toks = generate(params, None, ids, jnp.asarray([2]), cfg,
+                    max_new_tokens=12, eos_id=-1, sparams=sp)
+    row = np.asarray(toks)[0].tolist()
+    bigrams = list(zip(row, row[1:]))
+    assert len(bigrams) == len(set(bigrams)), row  # no repeated bigram
