@@ -28,6 +28,8 @@ class ModelConfig:
     use_bias: bool = False         # NeoX: biases on dense layers
     tie_word_embeddings: bool = False
     hidden_act: str = "silu"       # llama: silu (SwiGLU); neox: gelu (plain MLP)
+    sliding_window: Optional[int] = None   # Mistral-style local attention
+    attention_bias: bool = False           # Qwen2-style qkv biases
 
     @property
     def head_dim(self) -> int:
@@ -81,6 +83,32 @@ def neox_config(name: str, **kw) -> ModelConfig:
     )
 
 
+def mistral_config(name: str = "7b", **kw) -> ModelConfig:
+    """Mistral-7B family: LLaMA arch + GQA + sliding-window attention."""
+    return ModelConfig(
+        arch="llama", vocab_size=32000, hidden_size=4096,
+        intermediate_size=14336, num_layers=32, num_heads=32, num_kv_heads=8,
+        max_position_embeddings=32768, rope_theta=10000.0,
+        sliding_window=4096, **kw,
+    )
+
+
+def qwen2_config(name: str, **kw) -> ModelConfig:
+    """Qwen2 family: LLaMA arch + qkv biases + large vocab + high rope theta."""
+    table = {
+        "qwen2-0.5b": (896, 4864, 24, 14, 2, 151936),
+        "qwen2-1.5b": (1536, 8960, 28, 12, 2, 151936),
+        "qwen2-7b": (3584, 18944, 28, 28, 4, 152064),
+    }
+    h, inter, layers, heads, kv, vocab = table[name]
+    return ModelConfig(
+        arch="llama", vocab_size=vocab, hidden_size=h, intermediate_size=inter,
+        num_layers=layers, num_heads=heads, num_kv_heads=kv,
+        max_position_embeddings=32768, rope_theta=1000000.0,
+        attention_bias=True, tie_word_embeddings=(name != "qwen2-7b"), **kw,
+    )
+
+
 # registry mapping HF-style model ids to configs (quantize-on-load, N4)
 PRESETS = {
     "huggyllama/llama-7b": lambda: llama_config("7b"),
@@ -98,6 +126,10 @@ PRESETS = {
     "EleutherAI/pythia-2.8b": lambda: neox_config("pythia-2.8b"),
     "EleutherAI/pythia-6.9b": lambda: neox_config("pythia-6.9b"),
     "EleutherAI/pythia-12b": lambda: neox_config("pythia-12b"),
+    "mistralai/Mistral-7B-v0.1": lambda: mistral_config(),
+    "Qwen/Qwen2-0.5B": lambda: qwen2_config("qwen2-0.5b"),
+    "Qwen/Qwen2-1.5B": lambda: qwen2_config("qwen2-1.5b"),
+    "Qwen/Qwen2-7B": lambda: qwen2_config("qwen2-7b"),
 }
 
 

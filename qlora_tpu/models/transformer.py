@@ -216,9 +216,15 @@ def forward(
         kj = jnp.arange(T)[None, None, None, :]
         # keys valid if already written (< length) or being written now (<= pos)
         mask = kj <= positions[:, None, :, None]
+        if cfg.sliding_window:
+            mask = mask & (positions[:, None, :, None] - kj < cfg.sliding_window)
     else:
         T = S
         mask = causal_mask(S, S)
+        if cfg.sliding_window:
+            row = jnp.arange(S)[:, None]
+            col = jnp.arange(S)[None, :]
+            mask = mask & ((row - col) < cfg.sliding_window)[None, None]
         mask = jnp.broadcast_to(mask, (B, 1, S, S))
         if attn_mask is not None:
             mask = mask & attn_mask[:, None, None, :].astype(bool)
@@ -233,6 +239,7 @@ def forward(
         and use_flash != "never"
         and S % 128 == 0
         and cfg.head_dim % 64 == 0
+        and cfg.sliding_window is None
     )
     if use_flash == "always":
         flash_ok = cache is None
@@ -307,7 +314,10 @@ def init_params(
         ks = jax.random.split(k, len(dims) + 1)
         block = {}
         for i, (name, (di, do)) in enumerate(sorted(dims.items())):
-            block[name] = _init_linear(ks[i], di, do, cfg.use_bias, quantized)
+            has_bias = cfg.use_bias or (
+                cfg.attention_bias and name in ("wq", "wk", "wv")
+            )
+            block[name] = _init_linear(ks[i], di, do, has_bias, quantized)
         if cfg.arch == "llama":
             block["attn_norm"] = jnp.ones((D,), jnp.float32)
             block["mlp_norm"] = jnp.ones((D,), jnp.float32)

@@ -33,7 +33,7 @@ def read_hf_config(path: str) -> ModelConfig:
     with open(os.path.join(path, "config.json")) as f:
         c = json.load(f)
     mt = c.get("model_type")
-    if mt == "llama":
+    if mt in ("llama", "mistral", "qwen2"):
         return ModelConfig(
             arch="llama",
             vocab_size=c["vocab_size"],
@@ -47,6 +47,8 @@ def read_hf_config(path: str) -> ModelConfig:
             norm_eps=c.get("rms_norm_eps", 1e-5),
             tie_word_embeddings=c.get("tie_word_embeddings", False),
             hidden_act=c.get("hidden_act", "silu"),
+            sliding_window=c.get("sliding_window"),
+            attention_bias=c.get("attention_bias", mt == "qwen2"),
         )
     if mt == "gpt_neox":
         return ModelConfig(
@@ -180,8 +182,9 @@ def load_hf_model(
         for i in range(cfg.num_layers):
             b = {
                 name: _import_linear(
-                    get, f"{pre}{i}.{hf}.weight", None, quantize_base, qkw,
-                    *inter_pad.get(name, (0, 0)),
+                    get, f"{pre}{i}.{hf}.weight",
+                    f"{pre}{i}.{hf}.bias" if cfg.attention_bias else None,
+                    quantize_base, qkw, *inter_pad.get(name, (0, 0)),
                 )
                 for name, hf in lin_map.items()
             }

@@ -109,3 +109,37 @@ def test_flash_path_matches_jnp_path():
     np.testing.assert_allclose(
         np.asarray(la[:, :100]), np.asarray(lb[:, :100]), atol=0.15, rtol=0.05
     )
+
+
+def test_sliding_window_limits_attention():
+    from qlora_tpu.models.config import ModelConfig
+    cfg = ModelConfig(
+        arch="llama", vocab_size=128, hidden_size=128, intermediate_size=256,
+        num_layers=1, num_heads=2, num_kv_heads=2, sliding_window=4,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg, quantized=False)
+    # two prompts differing only in early tokens beyond the window
+    a = jnp.asarray([[9, 8, 7, 1, 2, 3, 4, 5]], jnp.int32)
+    b = jnp.asarray([[1, 2, 3, 1, 2, 3, 4, 5]], jnp.int32)
+    la, _ = forward(params, None, a, cfg)
+    lb, _ = forward(params, None, b, cfg)
+    # last position attends only the last 4 tokens => identical logits
+    np.testing.assert_allclose(
+        np.asarray(la[0, -1]), np.asarray(lb[0, -1]), atol=1e-5
+    )
+    # but early positions differ
+    assert np.abs(np.asarray(la[0, 1]) - np.asarray(lb[0, 1])).max() > 1e-3
+
+
+def test_qwen2_style_bias_init():
+    from qlora_tpu.models.config import ModelConfig
+    cfg = ModelConfig(
+        arch="llama", vocab_size=128, hidden_size=128, intermediate_size=256,
+        num_layers=2, num_heads=2, num_kv_heads=1, attention_bias=True,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg, quantized=True)
+    assert params["blocks"]["wq"].bias is not None
+    assert params["blocks"]["wo"].bias is None
+    ids = jnp.asarray([[1, 2, 3]], jnp.int32)
+    logits, _ = forward(params, None, ids, cfg)
+    assert np.isfinite(np.asarray(logits)).all()
