@@ -8,6 +8,8 @@ compute in bf16, frozen base weights NF4.
 
 from __future__ import annotations
 
+import contextlib
+import functools
 from typing import Optional, Union
 
 import jax
@@ -52,11 +54,49 @@ class DenseLinear:
 
 Linear = Union[QLinear, DenseLinear]
 
+# When set (inside shard_map), every linear's weight is an N-shard over this
+# mesh axis: compute the local column block, then all-gather the outputs.
+# Activations stay replicated across the axis (column-parallel TP).
+_TP_AXIS: list = [None]
+
+
+@contextlib.contextmanager
+def tp_shard_context(axis_name: str):
+    """Enable column-parallel tensor parallelism for apply_linear calls."""
+    _TP_AXIS.append(axis_name)
+    try:
+        yield
+    finally:
+        _TP_AXIS.pop()
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _ident_fwd_psum_bwd(x, axis_name):
+    """Megatron's `g` operator: identity forward, psum backward.
+
+    Placed on the (replicated) input of each column-parallel matmul so the
+    partial input-cotangents from the N-shards are summed over tp, keeping
+    every upstream cotangent exact and replicated."""
+    return x
+
+
+def _ifpb_fwd(x, axis_name):
+    return x, None
+
+
+def _ifpb_bwd(axis_name, _, g):
+    return (jax.lax.psum(g, axis_name),)
+
+
+_ident_fwd_psum_bwd.defvjp(_ifpb_fwd, _ifpb_bwd)
+
 
 def apply_linear(lin: Linear, x: jax.Array) -> jax.Array:
     """y = x @ W (+ bias); x [..., K] → [..., N] in bf16."""
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
+    if _TP_AXIS[-1] is not None:
+        x2 = _ident_fwd_psum_bwd(x2, _TP_AXIS[-1])
     if isinstance(lin, QLinear):
         y = qmatmul(x2, lin.qt)
     else:
@@ -66,6 +106,8 @@ def apply_linear(lin: Linear, x: jax.Array) -> jax.Array:
         ).astype(jnp.bfloat16)
     if lin.bias is not None:
         y = (y.astype(jnp.float32) + lin.bias.astype(jnp.float32)).astype(jnp.bfloat16)
+    if _TP_AXIS[-1] is not None:
+        y = jax.lax.all_gather(y, _TP_AXIS[-1], axis=1, tiled=True)
     return y.reshape(*lead, y.shape[-1])
 
 

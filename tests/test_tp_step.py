@@ -1,0 +1,72 @@
+"""shard_map dp×tp train step vs the single-device step (virtual mesh)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh
+
+from qlora_tpu.lora import LoraConfig
+from qlora_tpu.models import get_config, init_lora_params, init_params
+from qlora_tpu.models.config import ModelConfig
+from qlora_tpu.parallel.tp_step import make_tp_train_step
+from qlora_tpu.train import init_train_state, make_optimizer, make_train_step
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("dp", "tp"))
+
+
+def test_tp_step_matches_single_device(mesh):
+    cfg = ModelConfig(
+        arch="llama", vocab_size=512, hidden_size=256, intermediate_size=512,
+        num_layers=2, num_heads=4, num_kv_heads=4,
+    )
+    lcfg = LoraConfig(r=4, alpha=8)
+    params = init_params(jax.random.PRNGKey(0), cfg, quantized=True)
+    lora = init_lora_params(jax.random.PRNGKey(1), cfg, lcfg)
+    opt = make_optimizer("paged_adamw_32bit", 1e-3, total_steps=10)
+
+    B, S = 4, 16
+    ids = jax.random.randint(jax.random.PRNGKey(2), (B, S), 0, cfg.vocab_size)
+    batch = {"input_ids": ids, "attention_mask": jnp.ones_like(ids),
+             "labels": ids}
+    rng = jax.random.PRNGKey(3)
+
+    # single-device reference
+    s0 = init_train_state(lora, opt)
+    ref_step = make_train_step(cfg, lcfg, opt, accum_steps=1, donate=False)
+    s_ref, m_ref = ref_step(s0, params, batch, rng)
+
+    # sharded step
+    s1 = init_train_state(lora, opt)
+    tp_step = make_tp_train_step(cfg, lcfg, opt, mesh, params, s1)
+    s_tp, m_tp = tp_step(s1, params, batch, rng)
+
+    np.testing.assert_allclose(float(m_tp["loss"]), float(m_ref["loss"]),
+                               rtol=2e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(s_tp.trainable),
+                    jax.tree_util.tree_leaves(s_ref.trainable)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-3)
+
+
+def test_tp_step_multiple_steps_converge(mesh):
+    cfg = get_config("debug")
+    lcfg = LoraConfig(r=4, alpha=8)
+    params = init_params(jax.random.PRNGKey(0), cfg, quantized=True)
+    lora = init_lora_params(jax.random.PRNGKey(1), cfg, lcfg)
+    opt = make_optimizer("paged_adamw_32bit", 5e-3, total_steps=20)
+    state = init_train_state(lora, opt)
+    step = make_tp_train_step(cfg, lcfg, opt, mesh, params, state)
+    ids = jax.random.randint(jax.random.PRNGKey(2), (4, 16), 0, cfg.vocab_size)
+    batch = {"input_ids": ids, "attention_mask": jnp.ones_like(ids),
+             "labels": ids}
+    losses = []
+    for i in range(6):
+        state, m = step(state, params, batch, jax.random.PRNGKey(i))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] and all(np.isfinite(losses))
