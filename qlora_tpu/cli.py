@@ -324,11 +324,42 @@ def train(args: Args) -> dict:
             max_eval_samples=args.max_eval_samples,
             seed=data_seed,
         )
-        step_fn = make_train_step(
-            cfg, lcfg, optimizer,
-            accum_steps=args.gradient_accumulation_steps,
-            donate=False, mode=mode,
-        )
+        if args.mesh_dp * args.mesh_tp > 1:
+            # manual dp×tp shard_map step (pallas kernels run per-shard);
+            # accumulation folds into the dp batch for now
+            import numpy as _np
+            from jax.sharding import Mesh
+
+            from qlora_tpu.parallel.tp_step import make_tp_train_step
+
+            ndev = args.mesh_dp * args.mesh_tp
+            if len(jax.devices()) < ndev:
+                raise ValueError(
+                    f"mesh {args.mesh_dp}x{args.mesh_tp} needs {ndev} devices, "
+                    f"have {len(jax.devices())}"
+                )
+            mesh = Mesh(
+                _np.asarray(jax.devices()[:ndev]).reshape(
+                    args.mesh_dp, args.mesh_tp
+                ),
+                ("dp", "tp"),
+            )
+            if mode != "lora":
+                raise NotImplementedError("mesh training supports LoRA mode")
+            if args.gradient_accumulation_steps != 1:
+                raise NotImplementedError(
+                    "mesh training folds accumulation into the dp batch; "
+                    "set --gradient_accumulation_steps 1 and scale "
+                    "--per_device_train_batch_size instead"
+                )
+            tp_fn = make_tp_train_step(cfg, lcfg, optimizer, mesh, params, state)
+            step_fn = lambda st, fr, b, r: tp_fn(st, fr, b, r)
+        else:
+            step_fn = make_train_step(
+                cfg, lcfg, optimizer,
+                accum_steps=args.gradient_accumulation_steps,
+                donate=False, mode=mode,
+            )
         eval_fn = make_eval_step(cfg, lcfg, mode=mode) if (
             args.do_eval and eval_ds
         ) else None

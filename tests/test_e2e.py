@@ -140,3 +140,24 @@ def test_in_training_eval_and_mmlu(tmp_path):
     log = [json.loads(l) for l in open(os.path.join(out, "train_log.jsonl"))]
     assert any("eval_loss" in r for r in log)      # in-training eval fired
     assert any("mmlu_eval_accuracy" in r for r in log)
+
+
+def test_cli_mesh_training(tmp_path):
+    # dp=2, tp=2 on the virtual 8-device CPU mesh through the CLI driver
+    import jax as _jax
+    if len(_jax.devices()) < 4:
+        import pytest as _pytest
+        _pytest.skip("needs 4 virtual devices")
+    data = _write_alpaca(tmp_path, n=16)
+    out = str(tmp_path / "mesh_out")
+    args = Args(
+        model_name_or_path="debug", init_random=True, fake_tokenizer=True,
+        dataset=data, output_dir=out, max_steps=3,
+        per_device_train_batch_size=4, gradient_accumulation_steps=1,
+        lora_r=4, source_max_len=32, target_max_len=16, logging_steps=1,
+        save_steps=100, group_by_length=False,
+        mesh_dp=2, mesh_tp=2,
+    )
+    m = train(args)
+    losses = [h["loss"] for h in m["train_metrics"]]
+    assert len(losses) == 3 and all(np.isfinite(losses))
