@@ -188,7 +188,7 @@ def build_model_and_tokenizer(args: Args):
         )
 
     if args.fake_tokenizer:
-        from tests.test_data import FakeTokenizer  # byte-level, test-only
+        from qlora_tpu.utils.testing import FakeTokenizer  # byte-level
 
         tokenizer = FakeTokenizer()
     else:

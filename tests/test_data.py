@@ -17,17 +17,7 @@ from qlora_tpu.train.data import (
 from qlora_tpu.train.loss import IGNORE_INDEX
 
 
-class FakeTokenizer:
-    """Byte-level fake tokenizer: ids = bytes + 3 specials."""
-    bos_token_id = 1
-    eos_token_id = 2
-    pad_token_id = 0
-
-    def encode(self, text: str):
-        return [3 + b for b in text.encode()]
-
-    def decode(self, ids):
-        return bytes(i - 3 for i in ids if i >= 3).decode(errors="replace")
+from qlora_tpu.utils.testing import FakeTokenizer  # re-export for tests
 
 
 @pytest.fixture
