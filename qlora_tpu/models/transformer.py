@@ -104,7 +104,29 @@ def _attn(cfg, block, lora, lcfg, x, cos, sin, mask, cache_kv, pos, rng,
     q = apply_rope(q, cos, sin, rotary_dim)
     k = apply_rope(k, cos, sin, rotary_dim)
 
-    if cache_kv is not None:
+    if cache_kv is not None and len(cache_kv) == 3:
+        # paged decode (S == 1): write the token into its page, then attend
+        # over the sequence's scattered pages via the paged-attention kernel
+        from qlora_tpu.ops.paged_attention import paged_attention
+
+        k_pages, v_pages, tables = cache_kv       # [KVH,np,P,hd] ×2, [B,mp]
+        page_sz = k_pages.shape[2]
+        p0 = pos[:, 0]                            # [B] write positions
+        page_of = jnp.take_along_axis(
+            tables, (p0 // page_sz)[:, None], axis=1
+        )[:, 0]                                   # [B]
+        off = p0 % page_sz
+        k1 = jnp.transpose(k[:, 0], (1, 0, 2))    # [KVH, B, hd]
+        v1 = jnp.transpose(v[:, 0], (1, 0, 2))
+        k_pages = k_pages.at[:, page_of, off].set(k1.astype(k_pages.dtype))
+        v_pages = v_pages.at[:, page_of, off].set(v1.astype(v_pages.dtype))
+        o = paged_attention(
+            q[:, 0].astype(jnp.bfloat16), k_pages, v_pages,
+            p0 + 1, tables, sm_scale=1.0 / (hd ** 0.5),
+        )
+        attn_out = o[:, None]                     # [B, 1, H, hd]
+        new_cache = (k_pages, v_pages, tables)
+    elif cache_kv is not None:
         k_buf, v_buf = cache_kv
         # write the S new keys/values at contiguous positions starting pos[:, 0]
         k_buf = jax.vmap(
@@ -211,7 +233,10 @@ def forward(
         cfg.rope_theta, positions,
     )
 
-    if cache is not None:
+    paged = cache is not None and "k_pages" in cache
+    if paged:
+        mask = None  # the paged kernel masks by length internally
+    elif cache is not None:
         T = cache["k"].shape[2]
         kj = jnp.arange(T)[None, None, None, :]
         # keys valid if already written (< length) or being written now (<= pos)
@@ -251,24 +276,40 @@ def forward(
             flash_lengths = jnp.full((B,), S, jnp.int32)
 
     blk = functools.partial(block_forward, cfg, lcfg)
+    tables = cache.get("tables") if paged else None
 
     def scan_body(x, per_layer):
         block, lora_l, cache_l, rng_l = per_layer
+        if tables is not None:
+            cache_l = (*cache_l, tables)  # per-seq page table, shared by layers
         xo, new_cache = blk(x, block, lora_l, cos, sin, mask, cache_l, positions,
                             rng_l, flash_lengths)
+        if tables is not None:
+            new_cache = new_cache[:2]
         return xo, new_cache
 
     body = jax.checkpoint(scan_body) if remat else scan_body
 
-    cache_in = (cache["k"], cache["v"]) if cache is not None else None
+    if paged:
+        cache_in = (cache["k_pages"], cache["v_pages"])
+    elif cache is not None:
+        cache_in = (cache["k"], cache["v"])
+    else:
+        cache_in = None
     if cache_in is not None:
         x, cache_out = jax.lax.scan(
             body, x, (params["blocks"], lora, cache_in, layer_rngs)
         )
-        new_cache = {
-            "k": cache_out[0], "v": cache_out[1],
-            "length": positions[:, -1] + 1,
-        }
+        if paged:
+            new_cache = {
+                "k_pages": cache_out[0], "v_pages": cache_out[1],
+                "tables": tables, "length": positions[:, -1] + 1,
+            }
+        else:
+            new_cache = {
+                "k": cache_out[0], "v": cache_out[1],
+                "length": positions[:, -1] + 1,
+            }
     else:
         def body_nc(x, per_layer):
             block, lora_l, rng_l = per_layer
