@@ -90,5 +90,8 @@ def qmm_repeat(x, packed, am, shape, block_size, quant_type, reps=64,
         out_specs=pl.BlockSpec((TM, TN), lambda r, i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((M, N), jnp.bfloat16),
         scratch_shapes=[pltpu.VMEM((TM, TN), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "parallel", "parallel", "arbitrary"),
+        ),
         interpret=_use_interpret(),
     )(x, x, packed, am3, am3, tab)
