@@ -235,6 +235,9 @@ def _qmm_pallas(x, packed, am, shape, block_size, quant_type, out_dtype=jnp.bflo
         out_specs=pl.BlockSpec((TM, TN), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
         scratch_shapes=[pltpu.VMEM((TM, TN), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
         interpret=_use_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=2 * Mp * K * N,
@@ -291,6 +294,9 @@ def _qmm_pallas_dq(
         out_specs=pl.BlockSpec((TM, TN), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
         scratch_shapes=[pltpu.VMEM((TM, TN), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
         interpret=_use_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=2 * Mp * K * N,
@@ -340,6 +346,9 @@ def _qmm_bwd_pallas(g, packed, am, shape, block_size, quant_type, out_dtype=jnp.
         out_specs=pl.BlockSpec((TM, TK), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((Mp, K), out_dtype),
         scratch_shapes=[pltpu.VMEM((TM, TK), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
         interpret=_use_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=2 * Mp * K * N,
