@@ -7,7 +7,7 @@ python -m qlora_tpu.cli \
     --output_dir ./output/guanaco-65b \
     --logging_steps 10 \
     --save_strategy steps \
-    --save_steps 500 \
+    --save_steps 200 \
     --save_total_limit 40 \
     --eval_dataset_size 1024 \
     --max_eval_samples 1000 \
