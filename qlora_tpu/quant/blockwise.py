@@ -52,9 +52,9 @@ class QuantizedTensor:
     non-pytree fields so the object can flow through jit/scan/shard_map.
     """
 
-    packed: jax.Array          # uint8 [K//2, N], two nibbles along K per byte
-    absmax: jax.Array          # f32 [K//B, N] (plain) or int8 flat (double-quant)
-    absmax_scale: Optional[jax.Array]   # f32 [ceil(S/256)] or None
+    packed: jax.Array          # uint8 [K//2, N] (global split-half nibbles)
+    absmax: jax.Array          # f32 [K//B, N] (plain) or int8 [K//B, N] (double-quant)
+    absmax_scale: Optional[jax.Array]   # f32 [ceil(K//B/256), N] or None
     absmax_offset: Optional[jax.Array]  # f32 scalar or None
     shape: tuple = struct.field(pytree_node=False)          # logical (K, N)
     block_size: int = struct.field(pytree_node=False, default=DEFAULT_BLOCK)
