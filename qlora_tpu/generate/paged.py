@@ -101,3 +101,152 @@ class PagedPool:
         """Write back pools mutated by a decode step."""
         self.k_pages = cache["k_pages"]
         self.v_pages = cache["v_pages"]
+
+
+class PagedBatcher:
+    """Continuous batching over the paged pool (same API as ContinuousBatcher).
+
+    Fixed slot count for jit-stable decode shapes; each slot maps to a pool
+    sequence (uid).  Admission prefills through a scratch contiguous cache,
+    scatters the prompt KV into pool pages, and frees pages on retirement —
+    memory scales with live tokens, not slots × max_len.
+    """
+
+    def __init__(self, params, lora, cfg, lcfg=None, *, num_slots=8,
+                 n_pages=256, page_size=16, max_pages_per_seq=64,
+                 prefill_buckets=(128, 256, 512), eos_id=2, sparams=None,
+                 seed=0):
+        from qlora_tpu.generate.continuous import Request
+        from qlora_tpu.generate.sampler import SamplingParams
+        from qlora_tpu.lora import LoraConfig
+
+        self.Request = Request
+        self.params, self.lora, self.cfg = params, lora, cfg
+        self.lcfg = lcfg or LoraConfig()
+        self.num_slots = num_slots
+        self.eos_id = eos_id
+        self.sparams = sparams or SamplingParams()
+        self.rng = jax.random.PRNGKey(seed)
+        self.pool = PagedPool(cfg, n_pages, page_size, max_pages_per_seq)
+        self.prefill_buckets = tuple(sorted(prefill_buckets))
+        self.slot_req = [None] * num_slots
+        self.slot_uid = [0] * num_slots          # 0 = free (uid 0 reserved)
+        self.last_tokens = np.zeros((num_slots,), np.int32)
+        self.lengths = np.zeros((num_slots,), np.int32)
+        self.queue = []
+        self._uid = 0
+
+    def submit(self, prompt, max_new_tokens=128, on_token=None):
+        self._uid += 1
+        req = self.Request(self._uid, list(prompt), max_new_tokens,
+                           on_token=on_token)
+        self.queue.append(req)
+        return req
+
+    @property
+    def num_active(self):
+        return sum(r is not None for r in self.slot_req)
+
+    def _prefill_kv(self, ids_1xS, length, bucket):
+        """Run the prompt through a scratch contiguous cache; return
+        (last_logits [V], k [L,S,KVH,hd], v)."""
+        from qlora_tpu.models.transformer import forward, init_cache
+
+        cache = init_cache(self.cfg, 1, bucket)
+        positions = jnp.arange(bucket)[None, :]
+        logits, cache = forward(self.params, self.lora, ids_1xS, self.cfg,
+                                self.lcfg, cache=cache, positions=positions)
+        return logits[0, length - 1], cache["k"][:, 0], cache["v"][:, 0]
+
+    def _admit(self):
+        from qlora_tpu.generate.sampler import sample_token
+
+        for slot in range(self.num_slots):
+            if self.slot_req[slot] is not None or not self.queue:
+                continue
+            max_tokens = self.pool.max_pages_per_seq * self.pool.page_size
+            req = self.queue[0]
+            prompt = req.prompt[-(max_tokens - req.max_new_tokens):]
+            L = len(prompt)
+            if self.pool.pages_needed(L + req.max_new_tokens) > self.pool.n_free:
+                break  # not enough pages yet; wait for retirements
+            self.queue.pop(0)
+            bucket = next((b for b in self.prefill_buckets if b >= L),
+                          self.prefill_buckets[-1])
+            ids = np.zeros((1, bucket), np.int32)
+            ids[0, :L] = prompt
+            last, k, v = self._prefill_kv(jnp.asarray(ids), jnp.int32(L), bucket)
+            uid = req.uid
+            self.pool.allocate(uid, L + 1)  # room for the next token too
+            self.pool.write_prefill(uid, k[:, :L], v[:, :L])
+            self.rng, sub = jax.random.split(self.rng)
+            tok = int(sample_token(sub, last[None], self.sparams)[0])
+            self._emit(req, tok)
+            if req.done:
+                self.pool.release(uid)
+                continue
+            self.slot_req[slot] = req
+            self.slot_uid[slot] = uid
+            self.last_tokens[slot] = tok
+            self.lengths[slot] = L
+
+    def _decode_step(self):
+        from qlora_tpu.models.transformer import forward
+        from qlora_tpu.generate.sampler import sample_token
+
+        active = [r is not None for r in self.slot_req]
+        # grow page tables for slots about to write position `length`
+        for slot, r in enumerate(self.slot_req):
+            if r is not None:
+                self.pool.extend(self.slot_uid[slot], int(self.lengths[slot]) + 1)
+        cache = self.pool.decode_cache(self.slot_uid, self.lengths)
+        self.rng, sub = jax.random.split(self.rng)
+        logits, cache = forward(
+            self.params, self.lora,
+            jnp.asarray(self.last_tokens)[:, None], self.cfg, self.lcfg,
+            cache=cache,
+        )
+        self.pool.update_from(cache)
+        toks = np.asarray(sample_token(sub, logits[:, 0], self.sparams))
+        finished = []
+        for slot, req in enumerate(self.slot_req):
+            if req is None:
+                continue
+            self.lengths[slot] += 1
+            tok = int(toks[slot])
+            self._emit(req, tok)
+            self.last_tokens[slot] = tok
+            cap = self.pool.max_pages_per_seq * self.pool.page_size
+            if req.done or self.lengths[slot] >= cap - 1:
+                req.done = True
+                finished.append(req)
+                self.pool.release(self.slot_uid[slot])
+                self.slot_req[slot] = None
+                self.slot_uid[slot] = 0
+                self.lengths[slot] = 0
+        return finished
+
+    def step(self):
+        self._admit()
+        if self.num_active == 0:
+            return []
+        return self._decode_step()
+
+    def run_to_completion(self):
+        done = []
+        while self.queue or self.num_active:
+            stepped = self.step()
+            done.extend(stepped)
+            if not stepped and not self.num_active and self.queue:
+                raise MemoryError("queued requests cannot be admitted")
+        return done
+
+    def _emit(self, req, tok):
+        if tok == self.eos_id:
+            req.done = True
+            return
+        req.generated.append(tok)
+        if req.on_token:
+            req.on_token(req.uid, tok)
+        if len(req.generated) >= req.max_new_tokens:
+            req.done = True

@@ -58,3 +58,30 @@ def test_pool_prefill_and_decode_matches_contiguous():
             np.asarray(jnp.argmax(lp[:, 0], -1)),
         )
         tok = jnp.argmax(lc[:, 0], -1)[:, None].astype(jnp.int32)
+
+
+def test_paged_batcher_matches_batch_generate():
+    from qlora_tpu.generate import generate
+    from qlora_tpu.generate.paged import PagedBatcher
+
+    cfg = get_config("debug")
+    params = init_params(jax.random.PRNGKey(0), cfg, quantized=True)
+
+    def ref(prompt, n):
+        toks = generate(params, None, jnp.asarray([prompt], jnp.int32),
+                        jnp.asarray([len(prompt)]), cfg,
+                        max_new_tokens=n, eos_id=-1)
+        return np.asarray(toks)[0].tolist()
+
+    pb = PagedBatcher(params, None, cfg, num_slots=2, n_pages=64, page_size=8,
+                      max_pages_per_seq=8, prefill_buckets=(16,), eos_id=-1)
+    p1, p2, p3 = [3, 17, 5, 9], [4, 7], [11, 2, 6]
+    r1 = pb.submit(p1, max_new_tokens=5)
+    r2 = pb.submit(p2, max_new_tokens=5)
+    r3 = pb.submit(p3, max_new_tokens=4)   # queued behind the two slots
+    pb.run_to_completion()
+    assert r1.generated == ref(p1, 5)
+    assert r2.generated == ref(p2, 5)
+    assert r3.generated == ref(p3, 4)
+    # all pages returned to the free list
+    assert pb.pool.n_free == 64
