@@ -32,9 +32,10 @@ def qmm_repeat(x, packed, am, shape, block_size, quant_type, reps=64,
     M = x.shape[0]
     code = CODEBOOKS[quant_type]
 
-    TKp = _pick_tile(K2, tuple(t for t in (1024, 512, 256, 128) if t <= tkp_max))
+    TKp = _pick_tile(K2, tuple(t for t in (2048, 1024, 512, 256, 128) if t <= tkp_max))
     TM = _pick_tile(M, (1024, 512, 256, 128, 64, 32, 16))
-    TN = 128 if TM <= 64 else _pick_tile(N, tuple(t for t in (512, 256, 128) if t <= tn_max))
+    TN = min(tn_max, 128) if TM <= 64 else _pick_tile(N, tuple(t for t in (512, 256, 128) if t <= tn_max))
+    TN = _pick_tile(N, (tn_max,)) if TM <= 64 and tn_max > 128 else TN
     n_slices = TN // 128
     x = x.astype(jnp.bfloat16)
 
