@@ -201,7 +201,7 @@ def _qmm_pallas(x, packed, am, shape, block_size, quant_type, out_dtype=jnp.bflo
     # narrow TN (skip slice/concat relayouts); compute-bound large-M: wide
     # DMA tiles + big dots win
     if TM <= 64:
-        TKp = _pick_tile(K2, (1024, 512, 256, 128))
+        TKp = _pick_tile(K2, (2048, 1024, 512, 256, 128))
         TN = 128
     else:
         TKp = _pick_tile(K2, (512, 256, 128))
