@@ -48,7 +48,7 @@ def main():
             lambda c, p_, a_, R=R: jnp.sum(
                 qmm_repeat(
                     (base * c).astype(jnp.bfloat16), p_, a_,
-                    qt.shape, qt.block_size, qt.quant_type, reps=R, tkp_max=1024,
+                    qt.shape, qt.block_size, qt.quant_type, reps=R, tkp_max=2048,
                 ).astype(jnp.float32)
             )
         )
