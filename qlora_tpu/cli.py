@@ -203,11 +203,16 @@ def build_model_and_tokenizer(args: Args):
 
 
 def _iter_batches(examples, collator, batch_size, accum, seed, group_by_length,
-                  tokenizer, max_len):
-    """Yields stacked [accum, bs, S] batches forever (cycling epochs)."""
+                  tokenizer, max_len, skip_steps=0):
+    """Yields stacked [accum, bs, S] batches forever (cycling epochs).
+
+    skip_steps: fast-forward this many optimizer steps without collating —
+    deterministic data-position resume (the per-epoch plan is a pure
+    function of seed+epoch)."""
     from qlora_tpu.train.collator import bucket_batches, example_length
 
     epoch = 0
+    to_skip = skip_steps
     while True:
         if group_by_length:
             lengths = [example_length(tokenizer, e) for e in examples]
@@ -230,6 +235,13 @@ def _iter_batches(examples, collator, batch_size, accum, seed, group_by_length,
             if glen is not None and blen != glen and group:
                 group = []  # accum groups must share one bucket length
             glen = blen
+            if to_skip > 0:
+                # count full accumulation groups without collating
+                group.append(None)
+                if len(group) == accum:
+                    group = []
+                    to_skip -= 1
+                continue
             collator.pad_to = blen
             group.append(collator([examples[i] for i in idx]))
             if len(group) == accum:
@@ -368,6 +380,7 @@ def train(args: Args) -> dict:
             train_ds, collator, args.per_device_train_batch_size,
             args.gradient_accumulation_steps, args.seed,
             args.group_by_length, tokenizer, max_len,
+            skip_steps=start_step,
         )
         rng = jax.random.PRNGKey(args.seed)
         t0 = time.time()

@@ -161,3 +161,23 @@ def test_cli_mesh_training(tmp_path):
     m = train(args)
     losses = [h["loss"] for h in m["train_metrics"]]
     assert len(losses) == 3 and all(np.isfinite(losses))
+
+
+def test_resume_fast_forwards_data():
+    from qlora_tpu.cli import _iter_batches
+    from qlora_tpu.utils.testing import FakeTokenizer
+
+    from qlora_tpu.train.collator import CausalCollator
+
+    tok = FakeTokenizer()
+    coll = CausalCollator(tok, source_max_len=16, target_max_len=8)
+    exs = [{"input": f"q{i}", "output": f"a{i}"} for i in range(12)]
+    a = _iter_batches(exs, coll, 2, 1, seed=7, group_by_length=False,
+                      tokenizer=tok, max_len=24)
+    full = [next(a) for _ in range(5)]
+    coll2 = CausalCollator(tok, source_max_len=16, target_max_len=8)
+    b = _iter_batches(exs, coll2, 2, 1, seed=7, group_by_length=False,
+                      tokenizer=tok, max_len=24, skip_steps=3)
+    resumed = [next(b) for _ in range(2)]
+    for x, y in zip(full[3:], resumed):
+        np.testing.assert_array_equal(x["input_ids"], y["input_ids"])
