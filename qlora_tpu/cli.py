@@ -228,18 +228,16 @@ def _iter_batches(examples, collator, batch_size, accum, seed, group_by_length,
                 (order[i : i + batch_size].tolist(), max_len)
                 for i in range(0, len(examples), batch_size)
             ]
-        group, glen = [], None
+        groups: dict = {}   # bucket length → pending microbatches
         for idx, blen in plan:
             if len(idx) < batch_size:
                 continue  # keep shapes static
-            if glen is not None and blen != glen and group:
-                group = []  # accum groups must share one bucket length
-            glen = blen
+            group = groups.setdefault(blen, [])
             if to_skip > 0:
                 # count full accumulation groups without collating
                 group.append(None)
                 if len(group) == accum:
-                    group = []
+                    groups[blen] = []
                     to_skip -= 1
                 continue
             collator.pad_to = blen
@@ -251,7 +249,7 @@ def _iter_batches(examples, collator, batch_size, accum, seed, group_by_length,
                 if accum == 1:
                     out = {k: v[0] for k, v in out.items()}
                 yield out
-                group = []
+                groups[blen] = []
         epoch += 1
 
 
