@@ -140,9 +140,7 @@ def _attn(cfg, block, lora, lcfg, x, cos, sin, mask, cache_kv, pos, rng,
     elif flash_lengths is not None:
         from qlora_tpu.ops.flash_attention import flash_attention
 
-        if KVH != H:
-            k = jnp.repeat(k, H // KVH, axis=2)
-            v = jnp.repeat(v, H // KVH, axis=2)
+        # GQA handled inside the kernel (kv index maps divide the head)
         qh = jnp.transpose(q, (0, 2, 1, 3))  # [B, H, S, hd]
         kh = jnp.transpose(k, (0, 2, 1, 3))
         vh = jnp.transpose(v, (0, 2, 1, 3))

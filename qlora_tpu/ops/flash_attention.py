@@ -111,6 +111,8 @@ def _fwd_kernel(
 )
 def _flash_fwd(q, k, v, kv_lengths, sm_scale, causal, block_q, block_k):
     B, H, Sq, D = q.shape
+    KVH = k.shape[1]
+    G = H // KVH          # GQA: query heads per kv head (kernel-side grouping)
     Skv = k.shape[2]
     bq = min(block_q, _pick(Sq))
     bk = min(block_k, _pick(Skv))
@@ -124,8 +126,8 @@ def _flash_fwd(q, k, v, kv_lengths, sm_scale, causal, block_q, block_k):
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, bk, D), lambda b, h, i, j: (b, h, j, 0)),
-            pl.BlockSpec((1, 1, bk, D), lambda b, h, i, j: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, bk, D), lambda b, h, i, j: (b, h // G, j, 0)),
+            pl.BlockSpec((1, 1, bk, D), lambda b, h, i, j: (b, h // G, j, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
@@ -359,6 +361,22 @@ def _fa_fwd(q, k, v, kv_lengths, sm_scale, causal, block_q, block_k):
 
 def _fa_bwd(sm_scale, causal, block_q, block_k, res, do):
     q, k, v, kv_lengths, o, l, m = res
+    H = q.shape[1]
+    KVH = k.shape[1]
+    if KVH != H:
+        # backward runs per query head on repeated KV, then dk/dv sum over
+        # each kv head's query group
+        G = H // KVH
+        kr = jnp.repeat(k, G, axis=1)
+        vr = jnp.repeat(v, G, axis=1)
+        dq, dkr, dvr = _flash_bwd(
+            q, kr, vr, kv_lengths, o, l, m, do, sm_scale, causal,
+            block_q, block_k,
+        )
+        B, _, Skv, D = k.shape
+        dk = dkr.reshape(B, KVH, G, Skv, D).sum(axis=2).astype(k.dtype)
+        dv = dvr.reshape(B, KVH, G, Skv, D).sum(axis=2).astype(v.dtype)
+        return dq, dk, dv, None
     dq, dk, dv = _flash_bwd(
         q, k, v, kv_lengths, o, l, m, do, sm_scale, causal, block_q, block_k
     )

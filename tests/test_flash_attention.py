@@ -75,3 +75,35 @@ def test_padding_gradients_are_zero():
     # keys past the valid length must receive no gradient
     assert np.abs(np.asarray(dk)[:, :, L:]).max() == 0
     assert np.abs(np.asarray(dv)[:, :, L:]).max() == 0
+
+
+def test_gqa_grouped_kv_forward_and_grads():
+    # kernel-side GQA: KV has fewer heads; compare vs repeated-KV reference
+    B, H, KVH, S, D = 1, 4, 2, 128, 128
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = jax.random.normal(ks[0], (B, H, S, D), jnp.float32)
+    k = jax.random.normal(ks[1], (B, KVH, S, D), jnp.float32)
+    v = jax.random.normal(ks[2], (B, KVH, S, D), jnp.float32)
+    lengths = jnp.asarray([S], jnp.int32)
+    sm = 1.0 / np.sqrt(D)
+
+    kr = jnp.repeat(k, H // KVH, axis=1)
+    vr = jnp.repeat(v, H // KVH, axis=1)
+    got = flash_attention(q, k, v, lengths, sm, True)
+    want = attention_reference(q, kr, vr, lengths, sm, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-3, rtol=2e-3)
+
+    def loss(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, lengths, sm, True) ** 2)
+
+    def loss_ref(q, kf, vf):
+        return jnp.sum(attention_reference(q, kf, vf, lengths, sm, True) ** 2)
+
+    gq, gk, gv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    rq, rkf, rvf = jax.grad(loss_ref, argnums=(0, 1, 2))(q, kr, vr)
+    rk = rkf.reshape(B, KVH, H // KVH, S, D).sum(2)
+    rv = rvf.reshape(B, KVH, H // KVH, S, D).sum(2)
+    np.testing.assert_allclose(np.asarray(gq), np.asarray(rq), atol=5e-2, rtol=5e-2)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(rk), atol=5e-2, rtol=5e-2)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(rv), atol=5e-2, rtol=5e-2)
