@@ -147,7 +147,7 @@ def _attn(cfg, block, lora, lcfg, x, cos, sin, mask, cache_kv, pos, rng,
         oh = flash_attention(
             qh.astype(jnp.bfloat16), kh.astype(jnp.bfloat16),
             vh.astype(jnp.bfloat16), flash_lengths,
-            1.0 / (hd ** 0.5), True,
+            1.0 / (hd ** 0.5), True, 256, 256, cfg.sliding_window,
         )
         attn_out = jnp.transpose(oh, (0, 2, 1, 3))
         new_cache = None
@@ -262,7 +262,6 @@ def forward(
         and use_flash != "never"
         and S % 128 == 0
         and cfg.head_dim % 64 == 0
-        and cfg.sliding_window is None
     )
     if use_flash == "always":
         flash_ok = cache is None

@@ -49,7 +49,7 @@ def _pick(n, cands=(512, 256, 128)):
 def _fwd_kernel(
     q_ref, k_ref, v_ref, kvlen_ref, o_ref, l_ref, m_ref,
     m_scr, l_scr, acc_scr,
-    *, sm_scale, causal, block_q, block_k, kv_len,
+    *, sm_scale, causal, block_q, block_k, kv_len, window,
 ):
     """Grid (B, H, Sq/block_q, Skv/block_k); online softmax over kv tiles."""
     qi = pl.program_id(2)
@@ -66,6 +66,9 @@ def _fwd_kernel(
     run = True
     if causal:
         run = (qi + 1) * block_q - 1 >= ki * block_k
+    if window is not None:
+        # tile fully outside the window (all cols < min row - window + 1)
+        run = run & ((ki + 1) * block_k - 1 >= qi * block_q - window + 1)
 
     @pl.when(run)
     def _():
@@ -80,6 +83,8 @@ def _fwd_kernel(
         mask = col < kvlen_ref[bi, 0]                             # padding mask
         if causal:
             mask = mask & (col <= row)
+        if window is not None:
+            mask = mask & (row - col < window)
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
         m_prev, l_prev = m_scr[:], l_scr[:]
@@ -107,9 +112,10 @@ def _fwd_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sm_scale", "causal", "block_q", "block_k")
+    jax.jit, static_argnames=("sm_scale", "causal", "block_q", "block_k", "window")
 )
-def _flash_fwd(q, k, v, kv_lengths, sm_scale, causal, block_q, block_k):
+def _flash_fwd(q, k, v, kv_lengths, sm_scale, causal, block_q, block_k,
+               window=None):
     B, H, Sq, D = q.shape
     KVH = k.shape[1]
     G = H // KVH          # GQA: query heads per kv head (kernel-side grouping)
@@ -121,7 +127,7 @@ def _flash_fwd(q, k, v, kv_lengths, sm_scale, causal, block_q, block_k):
     out, l, m = pl.pallas_call(
         functools.partial(
             _fwd_kernel, sm_scale=sm_scale, causal=causal,
-            block_q=bq, block_k=bk, kv_len=Skv,
+            block_q=bq, block_k=bk, kv_len=Skv, window=window,
         ),
         grid=grid,
         in_specs=[
@@ -158,7 +164,7 @@ def _flash_fwd(q, k, v, kv_lengths, sm_scale, causal, block_q, block_k):
 def _bwd_dq_kernel(
     q_ref, k_ref, v_ref, kvlen_ref, do_ref, l_ref, m_ref, di_ref, dq_ref,
     dq_scr,
-    *, sm_scale, causal, block_q, block_k,
+    *, sm_scale, causal, block_q, block_k, window,
 ):
     """dq: grid (B, H, Sq/bq, Skv/bk), accumulate over kv tiles."""
     qi = pl.program_id(2)
@@ -186,6 +192,8 @@ def _bwd_dq_kernel(
         mask = col < kvlen_ref[bi, 0]
         if causal:
             mask = mask & (col <= row)
+        if window is not None:
+            mask = mask & (row - col < window)
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
         m = m_ref[0, 0][:, :1]
@@ -208,7 +216,7 @@ def _bwd_dq_kernel(
 def _bwd_dkv_kernel(
     q_ref, k_ref, v_ref, kvlen_ref, do_ref, l_ref, m_ref, di_ref,
     dk_ref, dv_ref, dk_scr, dv_scr,
-    *, sm_scale, causal, block_q, block_k,
+    *, sm_scale, causal, block_q, block_k, window,
 ):
     """dk/dv: grid (B, H, Skv/bk, Sq/bq), accumulate over q tiles."""
     ki = pl.program_id(2)
@@ -237,6 +245,8 @@ def _bwd_dkv_kernel(
         mask = col < kvlen_ref[bi, 0]
         if causal:
             mask = mask & (col <= row)
+        if window is not None:
+            mask = mask & (row - col < window)
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
         m = m_ref[0, 0][:, :1]
@@ -265,9 +275,10 @@ def _bwd_dkv_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sm_scale", "causal", "block_q", "block_k")
+    jax.jit, static_argnames=("sm_scale", "causal", "block_q", "block_k", "window")
 )
-def _flash_bwd(q, k, v, kv_lengths, o, l, m, do, sm_scale, causal, block_q, block_k):
+def _flash_bwd(q, k, v, kv_lengths, o, l, m, do, sm_scale, causal, block_q,
+               block_k, window=None):
     B, H, Sq, D = q.shape
     Skv = k.shape[2]
     bq = min(block_q, _pick(Sq))
@@ -290,7 +301,7 @@ def _flash_bwd(q, k, v, kv_lengths, o, l, m, do, sm_scale, causal, block_q, bloc
     dq = pl.pallas_call(
         functools.partial(
             _bwd_dq_kernel, sm_scale=sm_scale, causal=causal,
-            block_q=bq, block_k=bk,
+            block_q=bq, block_k=bk, window=window,
         ),
         grid=(B, H, Sq // bq, Skv // bk),
         in_specs=common_in,
@@ -313,7 +324,7 @@ def _flash_bwd(q, k, v, kv_lengths, o, l, m, do, sm_scale, causal, block_q, bloc
     dk, dv = pl.pallas_call(
         functools.partial(
             _bwd_dkv_kernel, sm_scale=sm_scale, causal=causal,
-            block_q=bq, block_k=bk,
+            block_q=bq, block_k=bk, window=window,
         ),
         grid=(B, H, Skv // bk, Sq // bq),
         in_specs=swapped_in,
@@ -339,27 +350,30 @@ def _flash_bwd(q, k, v, kv_lengths, o, l, m, do, sm_scale, causal, block_q, bloc
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def flash_attention(
     q: jax.Array,               # [B, H, Sq, D]
-    k: jax.Array,               # [B, H, Skv, D]
-    v: jax.Array,               # [B, H, Skv, D]
+    k: jax.Array,               # [B, KVH, Skv, D] (KVH may divide H: GQA)
+    v: jax.Array,
     kv_lengths: jax.Array,      # [B] int32 — keys >= length are masked
     sm_scale: float = 1.0,
     causal: bool = True,
     block_q: int = 256,
     block_k: int = 256,
+    window: int | None = None,  # Mistral-style sliding window
 ) -> jax.Array:
-    out, _, _ = _flash_fwd(q, k, v, kv_lengths, sm_scale, causal, block_q, block_k)
+    out, _, _ = _flash_fwd(q, k, v, kv_lengths, sm_scale, causal, block_q,
+                           block_k, window)
     return out
 
 
-def _fa_fwd(q, k, v, kv_lengths, sm_scale, causal, block_q, block_k):
-    out, l, m = _flash_fwd(q, k, v, kv_lengths, sm_scale, causal, block_q, block_k)
+def _fa_fwd(q, k, v, kv_lengths, sm_scale, causal, block_q, block_k, window):
+    out, l, m = _flash_fwd(q, k, v, kv_lengths, sm_scale, causal, block_q,
+                           block_k, window)
     return out, (q, k, v, kv_lengths, out, l, m)
 
 
-def _fa_bwd(sm_scale, causal, block_q, block_k, res, do):
+def _fa_bwd(sm_scale, causal, block_q, block_k, window, res, do):
     q, k, v, kv_lengths, o, l, m = res
     H = q.shape[1]
     KVH = k.shape[1]
@@ -371,14 +385,15 @@ def _fa_bwd(sm_scale, causal, block_q, block_k, res, do):
         vr = jnp.repeat(v, G, axis=1)
         dq, dkr, dvr = _flash_bwd(
             q, kr, vr, kv_lengths, o, l, m, do, sm_scale, causal,
-            block_q, block_k,
+            block_q, block_k, window,
         )
         B, _, Skv, D = k.shape
         dk = dkr.reshape(B, KVH, G, Skv, D).sum(axis=2).astype(k.dtype)
         dv = dvr.reshape(B, KVH, G, Skv, D).sum(axis=2).astype(v.dtype)
         return dq, dk, dv, None
     dq, dk, dv = _flash_bwd(
-        q, k, v, kv_lengths, o, l, m, do, sm_scale, causal, block_q, block_k
+        q, k, v, kv_lengths, o, l, m, do, sm_scale, causal, block_q, block_k,
+        window,
     )
     return dq, dk, dv, None
 
@@ -386,7 +401,8 @@ def _fa_bwd(sm_scale, causal, block_q, block_k, res, do):
 flash_attention.defvjp(_fa_fwd, _fa_bwd)
 
 
-def attention_reference(q, k, v, kv_lengths, sm_scale=1.0, causal=True):
+def attention_reference(q, k, v, kv_lengths, sm_scale=1.0, causal=True,
+                        window=None):
     """jnp oracle with identical masking semantics (fp32 softmax)."""
     B, H, Sq, D = q.shape
     Skv = k.shape[2]
@@ -395,9 +411,11 @@ def attention_reference(q, k, v, kv_lengths, sm_scale=1.0, causal=True):
     ) * sm_scale
     col = jnp.arange(Skv)[None, None, None, :]
     mask = col < kv_lengths[:, None, None, None]
+    row = jnp.arange(Sq)[None, None, :, None]
     if causal:
-        row = jnp.arange(Sq)[None, None, :, None]
         mask = mask & (col <= row)
+    if window is not None:
+        mask = mask & (row - col < window)
     s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
     p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32)).astype(q.dtype)

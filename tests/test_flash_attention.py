@@ -107,3 +107,34 @@ def test_gqa_grouped_kv_forward_and_grads():
     np.testing.assert_allclose(np.asarray(gq), np.asarray(rq), atol=5e-2, rtol=5e-2)
     np.testing.assert_allclose(np.asarray(gk), np.asarray(rk), atol=5e-2, rtol=5e-2)
     np.testing.assert_allclose(np.asarray(gv), np.asarray(rv), atol=5e-2, rtol=5e-2)
+
+
+@pytest.mark.parametrize("window", [4, 64, 200])
+def test_sliding_window_matches_reference(window):
+    B, H, S, D = 1, 2, 256, 128
+    q, k, v = _mk(6, B, H, S, S, D)
+    lengths = jnp.asarray([S], jnp.int32)
+    sm = 1.0 / np.sqrt(D)
+    got = flash_attention(q, k, v, lengths, sm, True, 128, 128, window)
+    want = attention_reference(q, k, v, lengths, sm, True, window)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_sliding_window_grads():
+    B, H, S, D = 1, 1, 128, 128
+    q, k, v = _mk(7, B, H, S, S, D)
+    lengths = jnp.asarray([S], jnp.int32)
+    sm = 1.0 / np.sqrt(D)
+
+    def f(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, lengths, sm, True, 128, 128, 32) ** 2)
+
+    def f_ref(q, k, v):
+        return jnp.sum(attention_reference(q, k, v, lengths, sm, True, 32) ** 2)
+
+    g = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-2, rtol=5e-2)
