@@ -117,6 +117,11 @@ class Args:
     mesh_dp: int = 1
     mesh_fsdp: int = 1
     mesh_tp: int = 1
+    # multi-host process group (reference analog: torchrun env,
+    # qlora.py:300-304); all three unset = single process / auto pod env
+    coordinator_address: Optional[str] = None
+    num_processes: Optional[int] = None
+    process_id: Optional[int] = None
 
 
 def _str2bool(v: str) -> bool:
@@ -160,9 +165,11 @@ def build_model_and_tokenizer(args: Args):
 
     lcfg = LoraConfig(r=args.lora_r, alpha=args.lora_alpha,
                       dropout=args.lora_dropout)
-    quantize_base = args.bits == 4 and not args.full_finetune
-    if args.bits not in (4, 16, 32):
-        raise ValueError(f"bits={args.bits} not supported (4, 16, 32)")
+    quantize_base = args.bits in (4, 8) and not args.full_finetune
+    if args.bits not in (4, 8, 16, 32):
+        raise ValueError(f"bits={args.bits} not supported (4, 8, 16, 32)")
+    # --bits 8 → blockwise int8 base weights (reference qlora.py:314,317)
+    quant_type = "int8" if args.bits == 8 else args.quant_type
 
     if not args.init_random and os.path.isdir(args.model_name_or_path):
         pre_quantized = os.path.exists(
@@ -178,13 +185,14 @@ def build_model_and_tokenizer(args: Args):
             params, cfg = load_hf_model(
                 args.model_name_or_path,
                 quantize_base=quantize_base,
-                quant_type=args.quant_type,
+                quant_type=quant_type,
                 double_quant=args.double_quant,
             )
     else:
         cfg = get_config(args.model_name_or_path)
         params = init_params(
-            jax.random.PRNGKey(args.seed), cfg, quantized=quantize_base
+            jax.random.PRNGKey(args.seed), cfg, quantized=quantize_base,
+            quant_type=quant_type,
         )
 
     if args.fake_tokenizer:
@@ -266,6 +274,19 @@ def train(args: Args) -> dict:
         get_last_checkpoint, load_checkpoint, mark_completed, save_checkpoint,
     )
 
+    if args.coordinator_address or (args.num_processes or 0) > 1:
+        # multi-host process group (replaces torchrun env, qlora.py:300-304)
+        from qlora_tpu.parallel import distributed
+
+        distributed.initialize(
+            args.coordinator_address, args.num_processes, args.process_id
+        )
+        logger.info(
+            "distributed: process %d/%d, %d local / %d global devices",
+            jax.process_index(), jax.process_count(),
+            jax.local_device_count(), jax.device_count(),
+        )
+
     os.makedirs(args.output_dir, exist_ok=True)
     all_metrics = {"run_name": args.output_dir}
 
@@ -334,36 +355,61 @@ def train(args: Args) -> dict:
             max_eval_samples=args.max_eval_samples,
             seed=data_seed,
         )
-        if args.mesh_dp * args.mesh_tp > 1:
-            # manual dp×tp shard_map step (pallas kernels run per-shard);
-            # accumulation folds into the dp batch for now
+        ckpt_opt_state = lambda st: st.opt_state
+        if args.mesh_dp * args.mesh_fsdp * args.mesh_tp > 1:
+            # manual dp×fsdp×tp shard_map step: Pallas kernels run per-shard,
+            # frozen weights shard over fsdp×tp, optimizer state over fsdp
+            # (ZeRO-1), gradient accumulation via in-step scan
             import numpy as _np
             from jax.sharding import Mesh
 
-            from qlora_tpu.parallel.tp_step import make_tp_train_step
+            from jax.sharding import NamedSharding
+            from qlora_tpu.parallel.sharded_step import (
+                make_sharded_train_step,
+                opt_state_full_to_zero1,
+                opt_state_zero1_to_full,
+                sharded_param_shardings,
+                zero1_state_specs,
+            )
 
-            ndev = args.mesh_dp * args.mesh_tp
+            ndev = args.mesh_dp * args.mesh_fsdp * args.mesh_tp
             if len(jax.devices()) < ndev:
                 raise ValueError(
-                    f"mesh {args.mesh_dp}x{args.mesh_tp} needs {ndev} devices, "
-                    f"have {len(jax.devices())}"
+                    f"mesh {args.mesh_dp}x{args.mesh_fsdp}x{args.mesh_tp} "
+                    f"needs {ndev} devices, have {len(jax.devices())}"
                 )
             mesh = Mesh(
                 _np.asarray(jax.devices()[:ndev]).reshape(
-                    args.mesh_dp, args.mesh_tp
+                    args.mesh_dp, args.mesh_fsdp, args.mesh_tp
                 ),
-                ("dp", "tp"),
+                ("dp", "fsdp", "tp"),
             )
             if mode != "lora":
                 raise NotImplementedError("mesh training supports LoRA mode")
-            if args.gradient_accumulation_steps != 1:
-                raise NotImplementedError(
-                    "mesh training folds accumulation into the dp batch; "
-                    "set --gradient_accumulation_steps 1 and scale "
-                    "--per_device_train_batch_size instead"
+            if args.mesh_fsdp > 1:
+                # ZeRO-1: convert the (fresh or checkpoint-restored) full
+                # opt state to the flat fsdp-sharded layout
+                z = opt_state_full_to_zero1(
+                    state.opt_state, state.trainable, optimizer, args.mesh_fsdp
                 )
-            tp_fn = make_tp_train_step(cfg, lcfg, optimizer, mesh, params, state)
-            step_fn = lambda st, fr, b, r: tp_fn(st, fr, b, r)
+                z = jax.tree_util.tree_map(
+                    lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+                    z, zero1_state_specs(z),
+                )
+                state = state.replace(opt_state=z)
+                # checkpoints stay portable: saved in the full layout
+                ckpt_opt_state = lambda st: opt_state_zero1_to_full(
+                    st.opt_state, st.trainable, optimizer
+                )
+            params = jax.tree_util.tree_map(
+                jax.device_put, params, sharded_param_shardings(params, mesh)
+            )
+            sh_fn = make_sharded_train_step(
+                cfg, lcfg, optimizer, mesh, params, state,
+                accum_steps=args.gradient_accumulation_steps,
+                clip_norm=args.max_grad_norm, donate=False,
+            )
+            step_fn = lambda st, fr, b, r: sh_fn(st, fr, b, r)
         else:
             step_fn = make_train_step(
                 cfg, lcfg, optimizer,
@@ -403,7 +449,7 @@ def train(args: Args) -> dict:
                 t0 = time.time()
             if args.save_strategy == "steps" and (step + 1) % args.save_steps == 0:
                 save_checkpoint(args.output_dir, step + 1, state.trainable,
-                                state.opt_state)
+                                ckpt_opt_state(state))
                 _prune_checkpoints(args.output_dir, args.save_total_limit)
             if args.eval_steps and (step + 1) % args.eval_steps == 0:
                 # in-training eval cadence (reference: evaluation_strategy
@@ -423,7 +469,7 @@ def train(args: Args) -> dict:
                         step=step + 1,
                     )
         save_checkpoint(args.output_dir, args.max_steps, state.trainable,
-                        state.opt_state)
+                        ckpt_opt_state(state))
         mark_completed(args.output_dir)
         all_metrics["train_metrics"] = metrics_hist
 

@@ -29,7 +29,10 @@ class PagedPool:
         self.max_pages_per_seq = max_pages_per_seq
         self.k_pages = jnp.zeros((L, KVH, n_pages, page_size, hd), jnp.bfloat16)
         self.v_pages = jnp.zeros((L, KVH, n_pages, page_size, hd), jnp.bfloat16)
-        self.free: list[int] = list(range(n_pages))
+        # page 0 is RESERVED scratch: inactive batcher slots (padded table
+        # entries = 0, length 0) still execute the decode-step cache write,
+        # so page 0 absorbs their garbage and must never be allocated
+        self.free: list[int] = list(range(1, n_pages))
         self.tables: dict[int, list[int]] = {}   # uid → page ids
 
     @property
@@ -166,7 +169,10 @@ class PagedBatcher:
                 continue
             max_tokens = self.pool.max_pages_per_seq * self.pool.page_size
             req = self.queue[0]
-            prompt = req.prompt[-(max_tokens - req.max_new_tokens):]
+            # prompt must fit the largest prefill bucket AND leave room for
+            # generation (longer prompts truncate from the left)
+            cap = min(max_tokens - req.max_new_tokens, self.prefill_buckets[-1])
+            prompt = req.prompt[-cap:]
             L = len(prompt)
             if self.pool.pages_needed(L + req.max_new_tokens) > self.pool.n_free:
                 break  # not enough pages yet; wait for retirements

@@ -33,8 +33,11 @@ class LoraConfig:
 
 
 def init_lora(key: jax.Array, in_dim: int, out_dim: int, r: int) -> dict:
-    """One adapter: A ~ He-uniform (kaiming a=√5 over fan_in), B = 0."""
-    bound = math.sqrt(6.0 / in_dim) / math.sqrt(5.0)  # kaiming_uniform(a=sqrt 5)
+    """One adapter: A ~ He-uniform (kaiming a=√5 over fan_in), B = 0.
+
+    kaiming_uniform(a=√5) bound = gain·√(3/fan_in) with gain = √(2/(1+5))
+    = 1/√in_dim — matching peft's torch init exactly."""
+    bound = 1.0 / math.sqrt(in_dim)
     a = jax.random.uniform(key, (in_dim, r), jnp.float32, -bound, bound)
     return {"a": a, "b": jnp.zeros((r, out_dim), jnp.float32)}
 

@@ -54,20 +54,28 @@ class DenseLinear:
 
 Linear = Union[QLinear, DenseLinear]
 
-# When set (inside shard_map), every linear's weight is an N-shard over this
-# mesh axis: compute the local column block, then all-gather the outputs.
-# Activations stay replicated across the axis (column-parallel TP).
-_TP_AXIS: list = [None]
+# When set (inside shard_map), every linear's weight is an N-shard over these
+# mesh axes: tp = column-parallel (compute local column block, all-gather the
+# outputs; activations replicated across tp); fsdp = weight-gathered (the
+# N-shard is further split over fsdp in storage and all-gathered just-in-time
+# per layer — ZeRO-3 for the frozen base weights, recomputed under remat).
+_SHARD_CTX: list = [(None, None)]
 
 
 @contextlib.contextmanager
-def tp_shard_context(axis_name: str):
-    """Enable column-parallel tensor parallelism for apply_linear calls."""
-    _TP_AXIS.append(axis_name)
+def tp_shard_context(axis_name: Optional[str], fsdp_axis: Optional[str] = None):
+    """Enable tensor parallelism (and optional fsdp weight-gathering) for
+    apply_linear calls inside shard_map."""
+    _SHARD_CTX.append((axis_name, fsdp_axis))
     try:
         yield
     finally:
-        _TP_AXIS.pop()
+        _SHARD_CTX.pop()
+
+
+def shard_ctx_axes() -> tuple:
+    """The (tp_axis, fsdp_axis) currently in effect (None when unsharded)."""
+    return _SHARD_CTX[-1]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
@@ -91,12 +99,87 @@ def _ifpb_bwd(axis_name, _, g):
 _ident_fwd_psum_bwd.defvjp(_ifpb_fwd, _ifpb_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _gather_cols_fwd_slice_bwd(y, axis_name):
+    """Megatron's `g` operator: all-gather forward, LOCAL-SLICE backward.
+
+    The conjugate of :func:`_ident_fwd_psum_bwd`.  A raw ``all_gather``
+    transposes to ``psum_scatter`` under shard_map (check_rep=False), which
+    SUMS the redundant cotangent copies from the replicated downstream region
+    — inflating every upstream gradient by the axis size per gathered linear
+    (the round-1 dp×tp step's 40-2700× grad blow-up).  Slicing instead keeps
+    the exact invariant: cotangents entering a replicated region are the true
+    d(loss)/d· on every member of the axis."""
+    return jax.lax.all_gather(y, axis_name, axis=1, tiled=True)
+
+
+def _gcsb_fwd(y, axis_name):
+    return jax.lax.all_gather(y, axis_name, axis=1, tiled=True), y.shape[1]
+
+
+def _gcsb_bwd(axis_name, n_local, g):
+    idx = jax.lax.axis_index(axis_name)
+    return (jax.lax.dynamic_slice_in_dim(g, idx * n_local, n_local, axis=1),)
+
+
+_gather_cols_fwd_slice_bwd.defvjp(_gcsb_fwd, _gcsb_bwd)
+
+
+def lookup_embedding(emb: jax.Array, ids: jax.Array, dtype=jnp.bfloat16):
+    """Embedding lookup aware of (tp, fsdp) feature sharding of the table.
+
+    fsdp is a *batch* axis as well as a weight-shard axis, so the table's
+    fsdp columns must be weight-gathered BEFORE the lookup (each fsdp rank
+    looks up different rows — gathering features after the lookup would mix
+    columns of different tokens).  The tp axis replicates the batch, so its
+    feature chunks are gathered on the (cheaper) activations after lookup;
+    ("tp","fsdp") storage order (fsdp minor) keeps both gathers contiguous."""
+    tp_axis, fsdp_axis = _SHARD_CTX[-1]
+    if fsdp_axis is not None:
+        emb = _gather_last(emb, fsdp_axis)
+    x = emb[ids].astype(dtype)
+    if tp_axis is not None:
+        x = jax.lax.all_gather(x, tp_axis, axis=x.ndim - 1, tiled=True)
+    return x
+
+
+def _gather_last(x: jax.Array, axis_name: str) -> jax.Array:
+    return jax.lax.all_gather(x, axis_name, axis=x.ndim - 1, tiled=True)
+
+
+def _fsdp_gather_linear(lin: Linear, axis_name: str) -> Linear:
+    """Reassemble this device's tp column-shard of a linear whose storage is
+    further split over the fsdp axis (ZeRO-3 just-in-time weight gather).
+
+    Storage partitions the output axis as ``P(..., ("tp", "fsdp"))`` — fsdp
+    minor — so gathering over fsdp yields the contiguous tp shard.  Packed
+    nibbles / absmax / meta-scales all shard the same N axis, which the
+    column-aligned quant layout makes split-safe at any 128-lane boundary."""
+    if isinstance(lin, QLinear):
+        qt = lin.qt
+        qt = QuantizedTensor(
+            packed=_gather_last(qt.packed, axis_name),
+            absmax=_gather_last(qt.absmax, axis_name),
+            absmax_scale=(None if qt.absmax_scale is None
+                          else _gather_last(qt.absmax_scale, axis_name)),
+            absmax_offset=qt.absmax_offset,
+            shape=qt.shape, block_size=qt.block_size, quant_type=qt.quant_type,
+        )
+        bias = None if lin.bias is None else _gather_last(lin.bias, axis_name)
+        return QLinear(qt=qt, bias=bias)
+    bias = None if lin.bias is None else _gather_last(lin.bias, axis_name)
+    return DenseLinear(w=_gather_last(lin.w, axis_name), bias=bias)
+
+
 def apply_linear(lin: Linear, x: jax.Array) -> jax.Array:
     """y = x @ W (+ bias); x [..., K] → [..., N] in bf16."""
+    tp_axis, fsdp_axis = _SHARD_CTX[-1]
+    if fsdp_axis is not None:
+        lin = _fsdp_gather_linear(lin, fsdp_axis)
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
-    if _TP_AXIS[-1] is not None:
-        x2 = _ident_fwd_psum_bwd(x2, _TP_AXIS[-1])
+    if tp_axis is not None:
+        x2 = _ident_fwd_psum_bwd(x2, tp_axis)
     if isinstance(lin, QLinear):
         y = qmatmul(x2, lin.qt)
     else:
@@ -106,8 +189,8 @@ def apply_linear(lin: Linear, x: jax.Array) -> jax.Array:
         ).astype(jnp.bfloat16)
     if lin.bias is not None:
         y = (y.astype(jnp.float32) + lin.bias.astype(jnp.float32)).astype(jnp.bfloat16)
-    if _TP_AXIS[-1] is not None:
-        y = jax.lax.all_gather(y, _TP_AXIS[-1], axis=1, tiled=True)
+    if tp_axis is not None:
+        y = _gather_cols_fwd_slice_bwd(y, tp_axis)
     return y.reshape(*lead, y.shape[-1])
 
 

@@ -70,13 +70,21 @@ def linear_dims(cfg: ModelConfig) -> dict:
 # ---------------------------------------------------------------------------
 
 
+# stable per-linear ids so each adapter draws an independent dropout mask
+# (peft draws per-module; round-1 passed one rng per block, correlating the
+# same-shaped wq/wk/wv masks)
+_LINEAR_RNG_IDS = {
+    name: i for i, name in enumerate(sorted(set(LLAMA_LINEARS + NEOX_LINEARS)))
+}
+
+
 def _block_linear(block, lora, name, x, lcfg: LoraConfig, rng):
     y = apply_linear(block[name], x)
     if lora is not None and name in lora:
-        y = y + apply_lora(
-            x, lora[name], lcfg.scale, lcfg.dropout,
-            rng if lcfg.dropout > 0 else None,
-        )
+        sub = None
+        if lcfg.dropout > 0 and rng is not None:
+            sub = jax.random.fold_in(rng, _LINEAR_RNG_IDS[name])
+        y = y + apply_lora(x, lora[name], lcfg.scale, lcfg.dropout, sub)
     return y
 
 
@@ -123,6 +131,7 @@ def _attn(cfg, block, lora, lcfg, x, cos, sin, mask, cache_kv, pos, rng,
         o = paged_attention(
             q[:, 0].astype(jnp.bfloat16), k_pages, v_pages,
             p0 + 1, tables, sm_scale=1.0 / (hd ** 0.5),
+            sliding_window=cfg.sliding_window,
         )
         attn_out = o[:, None]                     # [B, 1, H, hd]
         new_cache = (k_pages, v_pages, tables)
@@ -217,8 +226,12 @@ def forward(
     use_flash: str = "auto",   # "auto" | "never" | "always"
 ) -> tuple[jax.Array, Optional[dict]]:
     """Returns (logits [B, S, V] f32, updated cache or None)."""
+    from qlora_tpu.models.layers import lookup_embedding
+
     B, S = ids.shape
-    x = params["embed"][ids].astype(jnp.bfloat16)
+    # under shard_map the embedding table may be feature-sharded over
+    # (tp, fsdp); lookup_embedding reassembles full-D activations
+    x = lookup_embedding(params["embed"], ids, jnp.bfloat16)
 
     if positions is None:
         if cache is not None:
@@ -332,16 +345,18 @@ def forward(
 # ---------------------------------------------------------------------------
 
 
-def _init_linear(key, in_dim, out_dim, use_bias, quantized, dtype=jnp.bfloat16):
+def _init_linear(key, in_dim, out_dim, use_bias, quantized, dtype=jnp.bfloat16,
+                 quant_type="nf4"):
     w = jax.random.normal(key, (in_dim, out_dim), jnp.float32) * (in_dim ** -0.5)
     bias = jnp.zeros((out_dim,), jnp.float32) if use_bias else None
     if quantized:
-        return QLinear(qt=quantize(w), bias=bias)
+        return QLinear(qt=quantize(w, quant_type=quant_type), bias=bias)
     return DenseLinear(w=w.astype(dtype), bias=bias)
 
 
 def init_params(
-    key: jax.Array, cfg: ModelConfig, quantized: bool = True
+    key: jax.Array, cfg: ModelConfig, quantized: bool = True,
+    quant_type: str = "nf4",
 ) -> dict:
     """Random-init model params (tests/benchmarks; real weights via hf_import)."""
     D = cfg.hidden_size
@@ -355,7 +370,8 @@ def init_params(
             has_bias = cfg.use_bias or (
                 cfg.attention_bias and name in ("wq", "wk", "wv")
             )
-            block[name] = _init_linear(ks[i], di, do, has_bias, quantized)
+            block[name] = _init_linear(ks[i], di, do, has_bias, quantized,
+                                       quant_type=quant_type)
         if cfg.arch == "llama":
             block["attn_norm"] = jnp.ones((D,), jnp.float32)
             block["mlp_norm"] = jnp.ones((D,), jnp.float32)

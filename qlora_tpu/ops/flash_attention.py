@@ -178,6 +178,10 @@ def _bwd_dq_kernel(
     run = True
     if causal:
         run = (qi + 1) * block_q - 1 >= ki * block_k
+    if window is not None:
+        # window tile-skip (matches forward): sliding-window training pays
+        # O(S·window) backward, not full-quadratic
+        run = run & ((ki + 1) * block_k - 1 >= qi * block_q - window + 1)
 
     @pl.when(run)
     def _():
@@ -231,6 +235,9 @@ def _bwd_dkv_kernel(
     run = True
     if causal:
         run = (qi + 1) * block_q - 1 >= ki * block_k
+    if window is not None:
+        # window tile-skip (matches forward)
+        run = run & ((ki + 1) * block_k - 1 >= qi * block_q - window + 1)
 
     @pl.when(run)
     def _():

@@ -45,6 +45,7 @@ def _kernel(
     # scratch
     k_buf, v_buf, sems,
     *, page: int, pages_per_seq: int, sm_scale: float,
+    sliding_window: int | None,
 ):
     """Grid (B, KVH). Gathers this sequence's pages, then flash-style attention.
 
@@ -80,7 +81,13 @@ def _kernel(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )                                                        # [G, T]
     pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(pos < lengths_ref[b, 0], s, MASK)
+    valid = pos < lengths_ref[b, 0]
+    if sliding_window is not None:
+        # q sits at position lengths-1; HF sliding-window semantics keep
+        # keys with qpos - kpos < window  ⇔  kpos ≥ lengths - window
+        # (matches the contiguous-cache path, models/transformer.py)
+        valid &= pos >= lengths_ref[b, 0] - sliding_window
+    s = jnp.where(valid, s, MASK)
 
     m = jnp.max(s, axis=1, keepdims=True)
     p = jnp.exp(s - m)
@@ -91,7 +98,7 @@ def _kernel(
     o_ref[0, 0] = o.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("sm_scale",))
+@functools.partial(jax.jit, static_argnames=("sm_scale", "sliding_window"))
 def paged_attention(
     q: jax.Array,              # [B, H, D]
     k_pages: jax.Array,        # [KVH, n_pages, page, D]
@@ -100,6 +107,7 @@ def paged_attention(
     page_indices: jax.Array,   # [B, pages_per_seq]
     *,
     sm_scale: float = 1.0,
+    sliding_window: int | None = None,
 ) -> jax.Array:
     B, H, D = q.shape
     KVH, n_pages, page, _ = k_pages.shape
@@ -125,7 +133,8 @@ def paged_attention(
     )
     out = pl.pallas_call(
         functools.partial(
-            _kernel, page=page, pages_per_seq=pages_per_seq, sm_scale=sm_scale
+            _kernel, page=page, pages_per_seq=pages_per_seq, sm_scale=sm_scale,
+            sliding_window=sliding_window,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, KVH, G, D), q.dtype),
@@ -135,7 +144,7 @@ def paged_attention(
 
 
 def paged_attention_reference(q, k_pages, v_pages, lengths, page_indices,
-                              sm_scale=1.0):
+                              sm_scale=1.0, sliding_window=None):
     """jnp oracle: gather pages, masked softmax attention."""
     B, H, D = q.shape
     KVH, n_pages, page, _ = k_pages.shape
@@ -150,6 +159,9 @@ def paged_attention_reference(q, k_pages, v_pages, lengths, page_indices,
     qg = q.reshape(B, KVH, G, D).astype(jnp.float32) * sm_scale
     s = jnp.einsum("bkgd,bktd->bkgt", qg, k.astype(jnp.float32))
     mask = jnp.arange(T)[None, None, None, :] < lengths[:, None, None, None]
+    if sliding_window is not None:
+        mask &= (jnp.arange(T)[None, None, None, :]
+                 >= lengths[:, None, None, None] - sliding_window)
     s = jnp.where(mask, s, MASK)
     p = jax.nn.softmax(s, axis=-1)
     o = jnp.einsum("bkgt,bktd->bkgd", p, v.astype(jnp.float32))

@@ -34,7 +34,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from qlora_tpu.quant.blockwise import QuantizedTensor, absmax_f32, dequantize
+from qlora_tpu.quant.blockwise import (
+    QuantizedTensor, absmax_f32, dequantize, logical_k,
+)
 from qlora_tpu.quant.codebooks import CODEBOOKS
 
 Impl = Literal["auto", "pallas", "xla"]
@@ -176,6 +178,136 @@ def _qmm_bwd_kernel(
 
 def _use_interpret() -> bool:
     return jax.default_backend() == "cpu"
+
+
+# ---------------------------------------------------------------------------
+# int8 kernels (--bits 8 path: unpacked blockwise-int8 weights)
+# ---------------------------------------------------------------------------
+
+
+def _i8_fwd_kernel(x_ref, p_ref, am_ref, o_ref, acc_ref, *, block_size,
+                   out_dtype):
+    """One (i, j, k) grid step of y = x @ dequant_int8(W); no nibble planes —
+    codes are stored unpacked, decode is one convert + scale."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    vals = p_ref[:].astype(jnp.float32) * (1.0 / 127.0)
+    w = _scale_rows(vals, am_ref[0], block_size).astype(jnp.bfloat16)
+    acc_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+def _i8_bwd_kernel(g_ref, p_ref, am_ref, o_ref, acc_ref, *, block_size,
+                   out_dtype):
+    """One (i, j, k) grid step of dx = g @ dequant_int8(W)ᵀ (contraction
+    over N tiles)."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    vals = p_ref[:].astype(jnp.float32) * (1.0 / 127.0)
+    w = _scale_rows(vals, am_ref[0], block_size).astype(jnp.bfloat16)
+    acc_ref[:] += jax.lax.dot_general(
+        g_ref[:], w, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("shape", "block_size", "out_dtype")
+)
+def _qmm_pallas_i8(x, codes, am, shape, block_size, out_dtype=jnp.bfloat16):
+    """y = x @ dequant(int8 codes, am); x [M, K] → [M, N]."""
+    K, N = shape
+    M = x.shape[0]
+    xp = _pad_rows(x.astype(jnp.bfloat16), 16)
+    Mp = xp.shape[0]
+    TM = _pick_tile(Mp, (1024, 512, 256, 128, 64, 32, 16))
+    TK = _pick_tile(K, (1024, 512, 256, 128)) if TM <= 64 else _pick_tile(
+        K, (512, 256, 128))
+    TN = 128 if TM <= 64 else _pick_tile(N, (512, 256, 128))
+
+    grid = (Mp // TM, N // TN, K // TK)
+    nb = TK // block_size
+    am3 = am.reshape((K // block_size) // nb, nb, N)
+    out = pl.pallas_call(
+        functools.partial(
+            _i8_fwd_kernel, block_size=block_size, out_dtype=out_dtype
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TM, TK), lambda i, j, k: (i, k)),
+            pl.BlockSpec((TK, TN), lambda i, j, k: (k, j)),
+            pl.BlockSpec((1, nb, TN), lambda i, j, k: (k, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((TM, TN), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((TM, TN), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_use_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * K * N,
+            bytes_accessed=Mp * K * 2 + K * N + 4 * K * N // block_size + Mp * N * 2,
+            transcendentals=0,
+        ),
+    )(xp, codes, am3)
+    return out[:M] if Mp != M else out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("shape", "block_size", "out_dtype")
+)
+def _qmm_bwd_pallas_i8(g, codes, am, shape, block_size, out_dtype=jnp.bfloat16):
+    """dx = g @ dequant(int8 codes, am)ᵀ; g [M, N] → [M, K]."""
+    K, N = shape
+    M = g.shape[0]
+    gp = _pad_rows(g.astype(jnp.bfloat16), 16)
+    Mp = gp.shape[0]
+    TM = _pick_tile(Mp, (256, 128, 64, 32, 16))
+    TK = _pick_tile(K, (512, 256, 128))
+    TN = _pick_tile(N, (512, 256, 128))
+    grid = (Mp // TM, K // TK, N // TN)
+    nb = TK // block_size
+    am3 = am.reshape((K // block_size) // nb, nb, N)
+    out = pl.pallas_call(
+        functools.partial(
+            _i8_bwd_kernel, block_size=block_size, out_dtype=out_dtype
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TM, TN), lambda i, j, k: (i, k)),
+            pl.BlockSpec((TK, TN), lambda i, j, k: (j, k)),
+            pl.BlockSpec((1, nb, TN), lambda i, j, k: (j, 0, k)),
+        ],
+        out_specs=pl.BlockSpec((TM, TK), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((Mp, K), out_dtype),
+        scratch_shapes=[pltpu.VMEM((TM, TK), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_use_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * K * N,
+            bytes_accessed=Mp * N * 2 + K * N + 4 * K * N // block_size + Mp * K * 2,
+            transcendentals=0,
+        ),
+    )(gp, codes, am3)
+    return out[:M] if Mp != M else out
 
 
 def _pad_rows(x: jax.Array, mult: int) -> jax.Array:
@@ -359,7 +491,9 @@ def _qmm_bwd_pallas(g, packed, am, shape, block_size, quant_type, out_dtype=jnp.
     return out[:M] if Mp != M else out
 
 
-def _supports_pallas_tiles(K: int, N: int) -> bool:
+def _supports_pallas_tiles(K: int, N: int, quant_type: str = "nf4") -> bool:
+    if quant_type == "int8":
+        return K % 128 == 0 and N % 128 == 0
     # K/2 and N must both be tileable to the 128-lane minimum
     return K % 256 == 0 and N % 128 == 0
 
@@ -392,13 +526,13 @@ def set_default_impl(impl: Optional[str]) -> None:
     _IMPL_OVERRIDE[0] = impl
 
 
-def _resolve_impl(impl: Impl, K, N) -> str:
+def _resolve_impl(impl: Impl, K, N, quant_type: str = "nf4") -> str:
     if impl == "auto":
         if _IMPL_OVERRIDE[0] is not None:
             impl = _IMPL_OVERRIDE[0]
             if impl != "pallas":
                 return impl
-        return "pallas" if _supports_pallas_tiles(K, N) else "xla"
+        return "pallas" if _supports_pallas_tiles(K, N, quant_type) else "xla"
     return impl
 
 
@@ -424,8 +558,14 @@ def _absmax_f32_local(qt: QuantizedTensor, K: int, N: int):
 def _qmm_forward(x, qt, impl):
     # derive dims from the leaves, not qt.shape metadata: under shard_map the
     # leaves are per-device shards and the static shape describes the global
-    K, N = 2 * qt.packed.shape[0], qt.packed.shape[1]
-    if _resolve_impl(impl, K, N) == "pallas":
+    K, N = logical_k(qt), qt.packed.shape[1]
+    if _resolve_impl(impl, K, N, qt.quant_type) == "pallas":
+        if qt.quant_type == "int8":
+            am = _absmax_f32_local(qt, K, N)
+            return _qmm_pallas_i8(
+                x, qt.packed, am, (K, N), qt.block_size,
+                out_dtype=jnp.bfloat16,
+            )
         if _dq_fusable(qt):
             return _qmm_pallas_dq(
                 x, qt.packed, qt.absmax, qt.absmax_scale, qt.absmax_offset,
@@ -447,13 +587,19 @@ def _qmm_fwd_rule(x, qt, impl):
 
 
 def _qmm_bwd_rule(impl, qt, g):
-    K, N = 2 * qt.packed.shape[0], qt.packed.shape[1]
-    if _resolve_impl(impl, K, N) == "pallas":
+    K, N = logical_k(qt), qt.packed.shape[1]
+    if _resolve_impl(impl, K, N, qt.quant_type) == "pallas":
         am = _absmax_f32_local(qt, K, N)
-        dx = _qmm_bwd_pallas(
-            g, qt.packed, am, (K, N), qt.block_size, qt.quant_type,
-            out_dtype=jnp.bfloat16,
-        )
+        if qt.quant_type == "int8":
+            dx = _qmm_bwd_pallas_i8(
+                g, qt.packed, am, (K, N), qt.block_size,
+                out_dtype=jnp.bfloat16,
+            )
+        else:
+            dx = _qmm_bwd_pallas(
+                g, qt.packed, am, (K, N), qt.block_size, qt.quant_type,
+                out_dtype=jnp.bfloat16,
+            )
     else:
         w = dequantize(qt, dtype=jnp.bfloat16)
         dx = jnp.dot(

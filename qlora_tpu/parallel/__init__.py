@@ -21,8 +21,16 @@ from .mesh import (
     shard_params,
     MeshAxes,
 )
+from .sharded_step import (
+    make_sharded_train_step,
+    init_sharded_train_state,
+    sharded_param_specs,
+    sharded_param_shardings,
+)
 
 __all__ = [
     "make_mesh", "batch_sharding", "param_shardings", "lora_shardings",
     "shard_params", "MeshAxes",
+    "make_sharded_train_step", "init_sharded_train_state",
+    "sharded_param_specs", "sharded_param_shardings",
 ]

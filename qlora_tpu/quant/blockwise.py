@@ -127,10 +127,36 @@ def quantize(
     quant_type: str = "nf4",
     double_quant: bool = True,
 ) -> QuantizedTensor:
-    """Quantize a 2-D weight ``W[K, N]`` to packed 4-bit + blockwise absmax."""
+    """Quantize a 2-D weight ``W[K, N]``.
+
+    quant_type "nf4"/"fp4" → packed 4-bit nibbles (split-half layout);
+    quant_type "int8" → blockwise linear int8 (the ``--bits 8`` base-quant
+    path, reference qlora.py:314,317 / bnb Linear8bitLt capability): codes
+    stored unpacked as int8 [K, N], same per-block absmax + optional double
+    quantization of the scales."""
     if w.ndim != 2:
         raise ValueError(f"quantize expects a 2-D weight, got shape {w.shape}")
     K, N = w.shape
+    if quant_type == "int8":
+        if K % block_size != 0:
+            raise ValueError(f"K={K} must be divisible by block_size={block_size}")
+        wf = w.astype(jnp.float32)
+        blocks = wf.reshape(K // block_size, block_size, N)
+        absmax = jnp.max(jnp.abs(blocks), axis=1)
+        safe = jnp.where(absmax == 0, 1.0, absmax)
+        q = jnp.clip(
+            jnp.round(blocks / safe[:, None, :] * 127.0), -127, 127
+        ).reshape(K, N).astype(jnp.int8)
+        if double_quant:
+            aq, sc, off = double_quantize_absmax(absmax)
+            return QuantizedTensor(
+                packed=q, absmax=aq, absmax_scale=sc, absmax_offset=off,
+                shape=(K, N), block_size=block_size, quant_type="int8",
+            )
+        return QuantizedTensor(
+            packed=q, absmax=absmax, absmax_scale=None, absmax_offset=None,
+            shape=(K, N), block_size=block_size, quant_type="int8",
+        )
     if K % (2 * block_size) != 0:
         # split-half packing pairs rows r and K/2+r; K/2 must cover whole blocks
         raise ValueError(f"K={K} must be divisible by 2*block_size={2 * block_size}")
@@ -159,12 +185,17 @@ def quantize(
     )
 
 
+def logical_k(qt: QuantizedTensor) -> int:
+    """Leaf-derived logical contraction dim (4-bit packs 2 rows/byte)."""
+    return qt.packed.shape[-2] * (1 if qt.quant_type == "int8" else 2)
+
+
 def absmax_f32(qt: QuantizedTensor) -> jax.Array:
     """The per-block absmax as f32 [K//B, N], undoing double quant if present.
 
     Dims come from the leaves (not `shape` metadata) so per-device shards
     under shard_map dequantize correctly."""
-    K, N = 2 * qt.packed.shape[0], qt.packed.shape[1]
+    K, N = logical_k(qt), qt.packed.shape[-1]
     target = (K // qt.block_size, N)
     if qt.double_quant:
         return dequantize_absmax(qt.absmax, qt.absmax_scale, qt.absmax_offset, target)
@@ -184,10 +215,13 @@ def dequantize(qt: QuantizedTensor, dtype=jnp.bfloat16) -> jax.Array:
     """Reconstruct the weight ``W[K, N]`` in `dtype` (pure-jnp reference path).
 
     Leaf-derived dims (shard_map-safe)."""
-    K, N = 2 * qt.packed.shape[0], qt.packed.shape[1]
-    code = get_code(qt.quant_type)
-    idx = unpack_indices(qt.packed, qt.block_size)
-    vals = code[idx.astype(jnp.int32)]  # f32 [K, N]
+    K, N = logical_k(qt), qt.packed.shape[-1]
     am = absmax_f32(qt)                 # [K//B, N]
+    if qt.quant_type == "int8":
+        vals = qt.packed.astype(jnp.float32) * (1.0 / 127.0)
+    else:
+        code = get_code(qt.quant_type)
+        idx = unpack_indices(qt.packed, qt.block_size)
+        vals = code[idx.astype(jnp.int32)]  # f32 [K, N]
     w = vals.reshape(K // qt.block_size, qt.block_size, N) * am[:, None, :]
     return w.reshape(K, N).astype(dtype)

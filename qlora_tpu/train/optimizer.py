@@ -95,10 +95,21 @@ def adam8bit(
 
     def init(params):
         flat = jax.tree_util.tree_map(lambda p: p.reshape(-1).astype(jnp.float32), params)
-        zq = jax.tree_util.tree_map(lambda f: _q8(jnp.zeros_like(f)), flat)
-        m_q = jax.tree_util.tree_map(lambda t: t[0], zq, is_leaf=lambda x: isinstance(x, tuple))
-        m_s = jax.tree_util.tree_map(lambda t: t[1], zq, is_leaf=lambda x: isinstance(x, tuple))
-        return Adam8bitState(jnp.zeros([], jnp.int32), m_q, m_s, m_q, m_s)
+
+        def zeros_qs():
+            zq = jax.tree_util.tree_map(lambda f: _q8(jnp.zeros_like(f)), flat)
+            is_pair = lambda x: isinstance(x, tuple)
+            return (
+                jax.tree_util.tree_map(lambda t: t[0], zq, is_leaf=is_pair),
+                jax.tree_util.tree_map(lambda t: t[1], zq, is_leaf=is_pair),
+            )
+
+        # m and sqrt(v) get INDEPENDENT buffers: aliasing the zero trees was
+        # correct only while step 1 fully overwrote both, and breaks under
+        # buffer donation / in-place reuse
+        m_q, m_s = zeros_qs()
+        sv_q, sv_s = zeros_qs()
+        return Adam8bitState(jnp.zeros([], jnp.int32), m_q, m_s, sv_q, sv_s)
 
     def update(grads, state, params):
         count = state.count + 1

@@ -125,8 +125,9 @@ def _import_linear(
             bias = jnp.pad(bias, (0, pad_out))
     if quantize_base:
         # large tensors: threaded native C++ quantizer (checkpoint-conversion
-        # hot path); small ones aren't worth the host round-trip
-        if w.size >= 1 << 22:
+        # hot path); small ones aren't worth the host round-trip.  The C++
+        # path packs 4-bit nibbles only — int8 (--bits 8) goes through jnp.
+        if w.size >= 1 << 22 and qkw.get("quant_type") != "int8":
             from qlora_tpu.utils.native_quant import native_available, quantize_native
 
             if native_available():

@@ -55,3 +55,36 @@ def test_length_masking_ignores_garbage_pages():
     np.testing.assert_allclose(
         np.asarray(a, np.float32)[1], np.asarray(b, np.float32)[1], atol=2e-2
     )
+
+
+def test_paged_attention_sliding_window_matches_oracle():
+    """Kernel window mask ≡ jnp oracle window mask (exact, f32 KV)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from qlora_tpu.ops.paged_attention import (
+        paged_attention, paged_attention_reference)
+
+    B, H, KVH, D, page, pps, n_pages = 3, 4, 2, 64, 8, 4, 16
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(0), 4)
+    q = jax.random.normal(k1, (B, H, D), jnp.float32).astype(jnp.bfloat16)
+    kp = jax.random.normal(k2, (KVH, n_pages, page, D), jnp.float32).astype(jnp.bfloat16)
+    vp = jax.random.normal(k3, (KVH, n_pages, page, D), jnp.float32).astype(jnp.bfloat16)
+    lengths = jnp.asarray([5, 17, 30], jnp.int32)
+    tables = jax.random.permutation(k4, n_pages)[: B * pps].reshape(B, pps)
+
+    for window in (4, 8, 12, None):
+        out = paged_attention(q, kp, vp, lengths, tables, sm_scale=0.125,
+                              sliding_window=window)
+        ref = paged_attention_reference(q, kp, vp, lengths, tables,
+                                        sm_scale=0.125, sliding_window=window)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            atol=2e-2, rtol=2e-2,
+        )
+    # window must actually change the result once length > window
+    full = paged_attention(q, kp, vp, lengths, tables, sm_scale=0.125)
+    win = paged_attention(q, kp, vp, lengths, tables, sm_scale=0.125,
+                          sliding_window=4)
+    assert np.abs(np.asarray(full, np.float32)[1:]
+                  - np.asarray(win, np.float32)[1:]).max() > 1e-3

@@ -12,13 +12,15 @@ from qlora_tpu.models import forward, get_config, init_cache, init_params
 def test_allocator_lifecycle():
     cfg = get_config("debug")
     pool = PagedPool(cfg, n_pages=16, page_size=4, max_pages_per_seq=8)
+    assert pool.n_free == 15      # page 0 reserved as scratch
     pool.allocate(1, 10)          # 3 pages
     pool.allocate(2, 4)           # 1 page
-    assert pool.n_free == 12
+    assert pool.n_free == 11
+    assert 0 not in pool.tables[1] + pool.tables[2]
     pool.extend(1, 13)            # 4th page
     assert len(pool.tables[1]) == 4
     pool.release(1)
-    assert pool.n_free == 15
+    assert pool.n_free == 14
     with pytest.raises(MemoryError):
         pool.allocate(3, 16 * 4 + 1)
 
@@ -83,5 +85,73 @@ def test_paged_batcher_matches_batch_generate():
     assert r1.generated == ref(p1, 5)
     assert r2.generated == ref(p2, 5)
     assert r3.generated == ref(p3, 4)
-    # all pages returned to the free list
-    assert pb.pool.n_free == 64
+    # all pages returned to the free list (page 0 stays reserved)
+    assert pb.pool.n_free == 63
+
+
+def test_paged_sliding_window_matches_contiguous():
+    """A sliding-window (Mistral-style) model served through pages must mask
+    exactly like the contiguous-cache path once context exceeds the window
+    (round-1 gap: the paged branch masked by length only)."""
+    from qlora_tpu.models.config import ModelConfig
+
+    cfg = ModelConfig(
+        arch="llama", vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_layers=2, num_heads=2, num_kv_heads=2, sliding_window=8,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg, quantized=True)
+    B, S = 2, 12    # prefill already exceeds the window during decode
+    ids = jax.random.randint(jax.random.PRNGKey(1), (B, S), 0, cfg.vocab_size)
+
+    cache = init_cache(cfg, B, 32)
+    logits_p, cache = forward(params, None, ids, cfg, cache=cache)
+    cache = dict(cache, length=jnp.full((B,), S, jnp.int32))
+
+    pool = PagedPool(cfg, n_pages=32, page_size=8, max_pages_per_seq=4)
+    uids = [11, 22]
+    for i, uid in enumerate(uids):
+        pool.allocate(uid, S)
+        pool.write_prefill(uid, cache["k"][:, i, :S], cache["v"][:, i, :S])
+    paged = pool.decode_cache(uids, [S, S])
+
+    tok = jnp.argmax(logits_p[:, -1], axis=-1)[:, None].astype(jnp.int32)
+    for _ in range(6):
+        lc, cache = forward(params, None, tok, cfg, cache=cache)
+        for i, uid in enumerate(uids):
+            pool.extend(uid, int(paged["length"][i]) + 1)
+        paged = dict(paged, tables=pool.table_array(uids))
+        lp, paged = forward(params, None, tok, cfg, cache=paged)
+        pool.update_from(paged)
+        np.testing.assert_array_equal(
+            np.asarray(jnp.argmax(lc[:, 0], -1)),
+            np.asarray(jnp.argmax(lp[:, 0], -1)),
+        )
+        # logit closeness, not just argmax (atol covers the contiguous
+        # path's bf16 prob cast; a wrong window mask diverges by O(1))
+        np.testing.assert_allclose(np.asarray(lc[:, 0]), np.asarray(lp[:, 0]),
+                                   atol=6e-2, rtol=6e-2)
+        tok = jnp.argmax(lc[:, 0], -1)[:, None].astype(jnp.int32)
+
+
+def test_paged_batcher_long_prompt_truncates_not_crashes():
+    """Prompts longer than the largest prefill bucket truncate from the left
+    (round-1 bug: numpy broadcast ValueError in _admit)."""
+    from qlora_tpu.generate import generate
+    from qlora_tpu.generate.paged import PagedBatcher
+    from qlora_tpu.models import get_config
+
+    cfg = get_config("debug")
+    params = init_params(jax.random.PRNGKey(0), cfg, quantized=True)
+    long_prompt = [(i * 7) % cfg.vocab_size for i in range(25)]  # > bucket 16
+    pb = PagedBatcher(params, None, cfg, num_slots=2, n_pages=64, page_size=8,
+                      max_pages_per_seq=8, prefill_buckets=(16,), eos_id=-1)
+    r = pb.submit(long_prompt, max_new_tokens=4)
+    pb.run_to_completion()
+
+    kept = long_prompt[-12:]   # cap = min(64-4... , bucket 16) minus room: 12
+    # reference on the actually-kept prompt
+    cap = min(8 * 8 - 4, 16)
+    kept = long_prompt[-cap:]
+    toks = generate(params, None, jnp.asarray([kept], jnp.int32),
+                    jnp.asarray([len(kept)]), cfg, max_new_tokens=4, eos_id=-1)
+    assert r.generated == np.asarray(toks)[0].tolist()

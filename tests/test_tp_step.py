@@ -1,4 +1,12 @@
-"""shard_map dp×tp train step vs the single-device step (virtual mesh)."""
+"""shard_map dp×tp train step vs the single-device step (virtual mesh).
+
+Round-1 regression: the old dp×tp step silently trained with gradients
+inflated 40-2700× per leaf (psum inside the differentiated loss +
+psum_scatter transpose of the raw output all_gather).  These tests now
+compare grad_norm and THREE consecutive steps against the single-device
+step — step-1-only comparisons are blind to uniform grad inflation because
+Adam after global-norm clipping is scale-invariant at init.
+"""
 
 import numpy as np
 import jax
@@ -20,7 +28,7 @@ def mesh():
     return Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("dp", "tp"))
 
 
-def test_tp_step_matches_single_device(mesh):
+def test_tp_step_matches_single_device_3_steps(mesh):
     cfg = ModelConfig(
         arch="llama", vocab_size=512, hidden_size=256, intermediate_size=512,
         num_layers=2, num_heads=4, num_kv_heads=4,
@@ -34,24 +42,30 @@ def test_tp_step_matches_single_device(mesh):
     ids = jax.random.randint(jax.random.PRNGKey(2), (B, S), 0, cfg.vocab_size)
     batch = {"input_ids": ids, "attention_mask": jnp.ones_like(ids),
              "labels": ids}
-    rng = jax.random.PRNGKey(3)
 
-    # single-device reference
-    s0 = init_train_state(lora, opt)
+    s_ref = init_train_state(lora, opt)
     ref_step = make_train_step(cfg, lcfg, opt, accum_steps=1, donate=False)
-    s_ref, m_ref = ref_step(s0, params, batch, rng)
+    s_tp = init_train_state(lora, opt)
+    tp_step = make_tp_train_step(cfg, lcfg, opt, mesh, params, s_tp)
 
-    # sharded step
-    s1 = init_train_state(lora, opt)
-    tp_step = make_tp_train_step(cfg, lcfg, opt, mesh, params, s1)
-    s_tp, m_tp = tp_step(s1, params, batch, rng)
-
-    np.testing.assert_allclose(float(m_tp["loss"]), float(m_ref["loss"]),
-                               rtol=2e-3)
+    for i in range(3):
+        rng = jax.random.PRNGKey(100 + i)
+        s_ref, m_ref = ref_step(s_ref, params, batch, rng)
+        s_tp, m_tp = tp_step(s_tp, params, batch, rng)
+        # grad_norm equality catches inflated gradients that a post-clip
+        # parameter comparison at step 1 cannot see
+        np.testing.assert_allclose(
+            float(m_tp["grad_norm"]), float(m_ref["grad_norm"]),
+            rtol=5e-3, err_msg=f"grad_norm mismatch at step {i}",
+        )
+        np.testing.assert_allclose(float(m_tp["loss"]), float(m_ref["loss"]),
+                                   rtol=2e-3)
+    # post-Adam element compare is noisy for near-zero grads (±lr sign
+    # flips); bound the tail — per-step grad_norm above is the exact check
     for a, b in zip(jax.tree_util.tree_leaves(s_tp.trainable),
                     jax.tree_util.tree_leaves(s_ref.trainable)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=5e-4, rtol=5e-3)
+        d = np.abs(np.asarray(a) - np.asarray(b))
+        assert d.max() < 8e-3 and d.mean() < 2e-4
 
 
 def test_tp_step_multiple_steps_converge(mesh):
