@@ -29,6 +29,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
     # the axon TPU plugin's sitecustomize overrides the env var at import
     jax.config.update("jax_platforms", "cpu")

@@ -42,8 +42,13 @@ def main():
     ap.add_argument("--model_path", required=True)
     ap.add_argument("--adapter_path", default=None)
     ap.add_argument("--prompts", default=None, help="file of prompts (one/line)")
-    ap.add_argument("--num_slots", type=int, default=8)
-    ap.add_argument("--n_pages", type=int, default=1024)
+    ap.add_argument("--num_slots", type=int, default=128)
+    ap.add_argument("--decode_impl", default=None,
+                    choices=[None, "int8", "w8a8"],
+                    help="int8: offline per-column int8 serving weights + "
+                         "direct int8 MXU decode (~0.8x HBM SOL weight "
+                         "reads, ~1.2%% rel err); default exact bf16")
+    ap.add_argument("--n_pages", type=int, default=2048)
     ap.add_argument("--page_size", type=int, default=16)
     ap.add_argument("--max_new_tokens", type=int, default=128)
     ap.add_argument("--temperature", type=float, default=0.7)
@@ -61,7 +66,7 @@ def main():
 
     batcher = PagedBatcher(
         params, lora, cfg, lcfg,
-        num_slots=args.num_slots, n_pages=args.n_pages,
+        num_slots=args.num_slots, n_pages=args.n_pages, decode_impl=args.decode_impl,
         page_size=args.page_size,
         eos_id=tokenizer.eos_token_id,
         sparams=SamplingParams(do_sample=True, temperature=args.temperature,

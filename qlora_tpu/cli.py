@@ -492,7 +492,9 @@ def train(args: Args) -> dict:
         all_metrics["eval_loss"] = tot / max(n_tot, 1)
         logger.info("eval_loss: %.4f", all_metrics["eval_loss"])
 
-    if args.do_mmlu_eval and args.mmlu_data_path:
+    if args.do_mmlu_eval and not args.do_train:
+        # standalone MMLU eval (training runs it on its own cadence);
+        # _resolve_mmlu_path falls back to the bundled data/mmlu files
         all_metrics.update(
             _run_mmlu(args, params, state, cfg, lcfg, tokenizer, mode)
         )
@@ -533,8 +535,15 @@ def _resolve_mmlu_path(args) -> Optional[str]:
         return args.mmlu_data_path
     tag = "zero_shot" if args.mmlu_dataset == "mmlu-zs" else "five_shot"
     split = "val" if args.mmlu_split in ("eval", "val") else "test"
-    cand = os.path.join("data", "mmlu", f"{tag}_mmlu_{split}.json")
-    return cand if os.path.exists(cand) else None
+    fname = f"{tag}_mmlu_{split}.json"
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for cand in (
+        os.path.join("data", "mmlu", fname),             # cwd-relative
+        os.path.join(repo_root, "data", "mmlu", fname),  # bundled
+    ):
+        if os.path.exists(cand):
+            return cand
+    return None
 
 
 def _prune_checkpoints(output_dir: str, keep: int):
@@ -589,11 +598,6 @@ def _run_predict(args, params, state, cfg, lcfg, tokenizer, collator, mode):
     )
     collator.predict_with_generate = True
     collator.pad_to = args.source_max_len
-    if args.num_beam_groups > 1 or args.penalty_alpha:
-        raise NotImplementedError(
-            "group-beam / contrastive search not implemented yet "
-            "(num_beam_groups>1, penalty_alpha)"
-        )
     sp = SamplingParams(
         do_sample=args.do_sample, temperature=args.temperature,
         top_k=args.top_k, top_p=args.top_p, typical_p=args.typical_p,
@@ -616,6 +620,9 @@ def _run_predict(args, params, state, cfg, lcfg, tokenizer, collator, mode):
                 min_new_tokens=args.min_new_tokens or 0,
                 num_beams=args.num_beams,
                 length_penalty=args.length_penalty,
+                num_beam_groups=args.num_beam_groups,
+                diversity_penalty=args.diversity_penalty,
+                penalty_alpha=args.penalty_alpha,
                 eos_id=tokenizer.eos_token_id, sparams=sp,
                 rng=jax.random.PRNGKey(args.seed),
             )

@@ -129,11 +129,36 @@ def generate(
     min_new_tokens: int = 0,
     num_beams: int = 1,
     length_penalty: float = 1.0,
+    num_beam_groups: int = 1,
+    diversity_penalty: float = 0.0,
+    penalty_alpha: Optional[float] = None,
 ) -> jax.Array:
     """Batch generation (the reference's trainer.predict path, qlora.py:817-834).
 
     Returns new tokens [B, max_new_tokens], eos-padded after stop.
+    Dispatches on the reference's GenerationArguments (qlora.py:216-246):
+    num_beams>1 → beam search; num_beam_groups>1 → diverse beam search;
+    penalty_alpha → contrastive search.
     """
+    if penalty_alpha:
+        from qlora_tpu.generate.search import contrastive_search
+
+        return contrastive_search(
+            params, lora, ids, lengths, cfg, lcfg,
+            max_new_tokens=max_new_tokens, eos_id=eos_id,
+            top_k=max(sparams.top_k, 2), penalty_alpha=penalty_alpha,
+            max_len=max_len,
+        )
+    if num_beam_groups > 1:
+        from qlora_tpu.generate.search import group_beam_search
+
+        return group_beam_search(
+            params, lora, ids, lengths, cfg, lcfg,
+            max_new_tokens=max_new_tokens, eos_id=eos_id,
+            num_beams=num_beams, num_beam_groups=num_beam_groups,
+            diversity_penalty=diversity_penalty,
+            length_penalty=length_penalty, max_len=max_len,
+        )
     if num_beams > 1:
         return beam_search(
             params, lora, ids, lengths, cfg, lcfg,

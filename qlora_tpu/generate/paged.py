@@ -65,7 +65,26 @@ class PagedPool:
                 self.tables[uid].append(self.free.pop())
 
     def release(self, uid: int) -> None:
-        self.free.extend(self.tables.pop(uid, ()))
+        self.free.extend(p for p in self.tables.pop(uid, ()) if p != 0)
+
+    def evict_before(self, uid: int, min_pos: int) -> int:
+        """Free pages whose every position is < min_pos (sliding-window
+        serving: positions behind the window are masked by the attention
+        kernel, so their physical pages can be reused NOW).  The table
+        entry is repointed at the reserved scratch page 0 — the kernel
+        still gathers it, but every element is masked.  Returns the number
+        of pages freed."""
+        pages = self.tables.get(uid)
+        if not pages:
+            return 0
+        n_evictable = min_pos // self.page_size
+        freed = 0
+        for b in range(min(n_evictable, len(pages))):
+            if pages[b] != 0:
+                self.free.append(pages[b])
+                pages[b] = 0
+                freed += 1
+        return freed
 
     def table_array(self, uids: list[int]) -> jnp.ndarray:
         """[len(uids), max_pages_per_seq] int32, padded with page 0."""
@@ -115,10 +134,15 @@ class PagedBatcher:
     memory scales with live tokens, not slots × max_len.
     """
 
-    def __init__(self, params, lora, cfg, lcfg=None, *, num_slots=8,
-                 n_pages=256, page_size=16, max_pages_per_seq=64,
+    def __init__(self, params, lora, cfg, lcfg=None, *, num_slots=128,
+                 n_pages=2048, page_size=16, max_pages_per_seq=64,
                  prefill_buckets=(128, 256, 512), eos_id=2, sparams=None,
-                 seed=0):
+                 seed=0, decode_impl=None, rolling_eviction=True):
+        # num_slots defaults to 128: the decode matmul's M dim equals the
+        # slot count, and the fused NF4 kernel's MXU cost at M=16 equals
+        # M=128 (row padding) — batching to M≈128 is ~free throughput ×8
+        # (round-1 ablation; VERDICT perf lever 1).  Page pool sizing is
+        # model-dependent: 2048×16 = 32k pooled tokens.
         from qlora_tpu.generate.continuous import Request
         from qlora_tpu.generate.sampler import SamplingParams
         from qlora_tpu.lora import LoraConfig
@@ -132,6 +156,21 @@ class PagedBatcher:
         self.rng = jax.random.PRNGKey(seed)
         self.pool = PagedPool(cfg, n_pages, page_size, max_pages_per_seq)
         self.prefill_buckets = tuple(sorted(prefill_buckets))
+        # decode_impl opts decode steps into int8-MXU serving kernels
+        # (~1.2% rel. error; prefill stays bf16-exact):
+        #   "int8" — per-column int8 weights requantized offline at init
+        #            (fastest: no in-kernel decode; +8 bits/param HBM)
+        #   "w8a8" — NF4 storage, nibbles decoded to int8 in-kernel
+        #            (no extra HBM; wins at large slot counts)
+        self.decode_impl = decode_impl
+        # sliding-window models: free pages fully behind the window (their
+        # contents are masked by the kernel, so eviction is exact)
+        self.rolling_eviction = rolling_eviction
+        self.decode_params = params
+        if decode_impl == "int8":
+            from qlora_tpu.generate.serve_int8 import requantize_params_int8
+
+            self.decode_params = requantize_params_int8(params)
         self.slot_req = [None] * num_slots
         self.slot_uid = [0] * num_slots          # 0 = free (uid 0 reserved)
         self.last_tokens = np.zeros((num_slots,), np.int32)
@@ -174,7 +213,16 @@ class PagedBatcher:
             cap = min(max_tokens - req.max_new_tokens, self.prefill_buckets[-1])
             prompt = req.prompt[-cap:]
             L = len(prompt)
-            if self.pool.pages_needed(L + req.max_new_tokens) > self.pool.n_free:
+            if self.cfg.sliding_window and self.rolling_eviction:
+                # rolling eviction caps LIVE pages at ~window/page_size + 2
+                # (prefill holds the whole prompt transiently)
+                need = max(
+                    self.pool.pages_needed(L + 1),
+                    self.pool.pages_needed(self.cfg.sliding_window) + 2,
+                )
+            else:
+                need = self.pool.pages_needed(L + req.max_new_tokens)
+            if need > self.pool.n_free:
                 break  # not enough pages yet; wait for retirements
             self.queue.pop(0)
             bucket = next((b for b in self.prefill_buckets if b >= L),
@@ -201,17 +249,31 @@ class PagedBatcher:
         from qlora_tpu.generate.sampler import sample_token
 
         active = [r is not None for r in self.slot_req]
-        # grow page tables for slots about to write position `length`
+        # grow page tables for slots about to write position `length`;
+        # sliding-window models roll: pages fully behind the window free up
+        window = self.cfg.sliding_window if self.rolling_eviction else None
         for slot, r in enumerate(self.slot_req):
             if r is not None:
+                if window:
+                    self.pool.evict_before(
+                        self.slot_uid[slot],
+                        int(self.lengths[slot]) + 1 - window,
+                    )
                 self.pool.extend(self.slot_uid[slot], int(self.lengths[slot]) + 1)
         cache = self.pool.decode_cache(self.slot_uid, self.lengths)
         self.rng, sub = jax.random.split(self.rng)
-        logits, cache = forward(
-            self.params, self.lora,
-            jnp.asarray(self.last_tokens)[:, None], self.cfg, self.lcfg,
-            cache=cache,
-        )
+        import contextlib
+
+        from qlora_tpu.ops.qmatmul import default_impl
+
+        ctx = (default_impl("w8a8") if self.decode_impl
+               else contextlib.nullcontext())
+        with ctx:
+            logits, cache = forward(
+                self.decode_params, self.lora,
+                jnp.asarray(self.last_tokens)[:, None], self.cfg, self.lcfg,
+                cache=cache,
+            )
         self.pool.update_from(cache)
         toks = np.asarray(sample_token(sub, logits[:, 0], self.sparams))
         finished = []

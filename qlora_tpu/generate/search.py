@@ -1,0 +1,251 @@
+"""Group (diverse) beam search and contrastive search.
+
+Completes the reference's generation surface (GenerationArguments
+``num_beam_groups``/``diversity_penalty``/``penalty_alpha``,
+/root/reference/qlora.py:230-240 via HF generate) with HF semantics:
+
+* group beam search — beams split into G groups selected sequentially per
+  step; later groups pay ``diversity_penalty`` × (times a token was chosen
+  by earlier groups this step) on their log-probs (Hamming diversity).
+* contrastive search — per step, the top-k probability candidates are
+  scored ``(1−α)·p(tok) − α·max cos-sim(h_tok, previous hidden states)``
+  and the best is taken (degeneration penalty over the model's
+  post-final-norm hidden states).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from qlora_tpu.lora import LoraConfig
+from qlora_tpu.models.config import ModelConfig
+from qlora_tpu.models.transformer import forward, init_cache
+
+NEG = jnp.float32(-1e30)
+
+
+# ---------------------------------------------------------------------------
+# group (diverse) beam search
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "lcfg", "max_new_tokens", "eos_id", "num_beams",
+                     "num_beam_groups", "diversity_penalty", "length_penalty"),
+)
+def _group_beam_loop(
+    params, lora, first_logits, cache, *,
+    cfg, lcfg, max_new_tokens, eos_id, num_beams, num_beam_groups,
+    diversity_penalty, length_penalty,
+):
+    Bk = first_logits.shape[0]
+    k = num_beams
+    B = Bk // k
+    G = num_beam_groups
+    kg = k // G
+    V = cfg.vocab_size
+
+    def step(state):
+        t, logits, cache, scores, done, out = state
+        logp_all = jax.nn.log_softmax(
+            logits.astype(jnp.float32), axis=-1
+        ).reshape(B, k, V)
+        eos_only = jnp.where(jnp.arange(V)[None, None, :] == eos_id, 0.0, NEG)
+
+        counts = jnp.zeros((B, V), jnp.float32)   # tokens chosen this step
+        toks = jnp.zeros((B, k), jnp.int32)
+        srcs = jnp.zeros((B, k), jnp.int32)
+        new_scores = jnp.zeros((B, k), jnp.float32)
+        for g in range(G):                        # static loop: groups in order
+            sl = slice(g * kg, (g + 1) * kg)
+            lp = logp_all[:, sl]
+            if diversity_penalty > 0.0 and g > 0:
+                lp = lp - diversity_penalty * counts[:, None, :]
+            lp = jnp.where(done[:, sl, None], eos_only, lp)
+            total = scores[:, sl, None] + lp      # [B, kg, V]
+            sc_g, idx = jax.lax.top_k(total.reshape(B, kg * V), kg)
+            src_g = g * kg + idx // V             # beams stay inside the group
+            tok_g = idx % V
+            counts = counts + jax.nn.one_hot(tok_g, V, dtype=jnp.float32).sum(1)
+            toks = toks.at[:, sl].set(tok_g)
+            srcs = srcs.at[:, sl].set(src_g)
+            new_scores = new_scores.at[:, sl].set(sc_g)
+
+        gather_rows = (jnp.arange(B)[:, None] * k + srcs).reshape(-1)
+        cache = {
+            "k": cache["k"][:, gather_rows],
+            "v": cache["v"][:, gather_rows],
+            "length": cache["length"][gather_rows],
+        }
+        out = out[jnp.arange(B)[:, None], srcs]
+        done = done[jnp.arange(B)[:, None], srcs]
+        out = out.at[:, :, t].set(toks)
+        done = done | (toks == eos_id)
+        new_logits, cache = forward(
+            params, lora, toks.reshape(-1)[:, None], cfg, lcfg, cache=cache
+        )
+        return (t + 1, new_logits[:, 0], cache, new_scores, done, out)
+
+    def cond(state):
+        t, _, _, _, done, _ = state
+        return (t < max_new_tokens) & ~jnp.all(done)
+
+    out = jnp.full((B, k, max_new_tokens), eos_id, jnp.int32)
+    # one live beam per group at t=0 (all groups share the same prefix)
+    init = jnp.full((k,), NEG).at[jnp.arange(0, k, kg)].set(0.0)
+    scores = jnp.tile(init[None, :], (B, 1)).astype(jnp.float32)
+    state = (jnp.int32(0), first_logits, cache, scores,
+             jnp.zeros((B, k), bool), out)
+    _, _, _, scores, done, out = jax.lax.while_loop(cond, step, state)
+
+    lengths = jnp.sum(out != eos_id, axis=-1).astype(jnp.float32) + 1.0
+    norm = scores / (lengths ** length_penalty)
+    best = jnp.argmax(norm, axis=1)
+    return out[jnp.arange(B), best]
+
+
+def group_beam_search(
+    params, lora, ids, lengths, cfg, lcfg=LoraConfig(), *,
+    max_new_tokens=256, eos_id=2, num_beams=4, num_beam_groups=2,
+    diversity_penalty: float = 0.0, length_penalty: float = 1.0,
+    max_len=None,
+):
+    """Diverse beam search (HF ``num_beam_groups`` semantics)."""
+    from qlora_tpu.generate.engine import prefill
+
+    if num_beams % num_beam_groups != 0:
+        raise ValueError("num_beams must be divisible by num_beam_groups")
+    B, S = ids.shape
+    k = num_beams
+    max_len = max_len or (S + max_new_tokens)
+    cache = init_cache(cfg, B, max_len)
+    last, cache = prefill(params, lora, ids, lengths, cfg, lcfg, cache=cache)
+    cache = {
+        "k": jnp.repeat(cache["k"], k, axis=1),
+        "v": jnp.repeat(cache["v"], k, axis=1),
+        "length": jnp.repeat(cache["length"], k),
+    }
+    first = jnp.repeat(last, k, axis=0)
+    return _group_beam_loop(
+        params, lora, first, cache, cfg=cfg, lcfg=lcfg,
+        max_new_tokens=max_new_tokens, eos_id=eos_id, num_beams=k,
+        num_beam_groups=num_beam_groups,
+        diversity_penalty=float(diversity_penalty),
+        length_penalty=float(length_penalty),
+    )
+
+
+# ---------------------------------------------------------------------------
+# contrastive search
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "lcfg", "max_new_tokens", "eos_id", "top_k",
+                     "penalty_alpha"),
+)
+def _contrastive_loop(
+    params, lora, first_logits, cache, hist, hist_len, *,
+    cfg, lcfg, max_new_tokens, eos_id, top_k, penalty_alpha,
+):
+    B, V = first_logits.shape
+    k = top_k
+    D = hist.shape[-1]
+    Tmax = hist.shape[1]
+    alpha = jnp.float32(penalty_alpha)
+
+    def step(state):
+        t, logits, cache, hist, done, out = state
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        p_c, tok_c = jax.lax.top_k(probs, k)            # [B, k]
+
+        # run the k candidates against k copies of the cache
+        cache_x = {
+            "k": jnp.repeat(cache["k"], k, axis=1),
+            "v": jnp.repeat(cache["v"], k, axis=1),
+            "length": jnp.repeat(cache["length"], k),
+        }
+        lg, cache_x, h = forward(
+            params, lora, tok_c.reshape(-1)[:, None], cfg, lcfg,
+            cache=cache_x, return_hidden=True,
+        )
+        h = h[:, 0].astype(jnp.float32).reshape(B, k, D)
+        hn = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-6)
+
+        n_hist = hist_len + t                            # prompt + generated
+        sim = jnp.einsum("bkd,btd->bkt", hn, hist)       # hist rows normalized
+        valid = jnp.arange(Tmax)[None, None, :] < n_hist[:, None, None]
+        max_sim = jnp.max(jnp.where(valid, sim, -1.0), axis=-1)  # [B, k]
+
+        score = (1.0 - alpha) * p_c - alpha * max_sim
+        best = jnp.argmax(score, axis=1)                 # [B]
+        rows = jnp.arange(B) * k + best
+        tok = tok_c[jnp.arange(B), best]
+        tok = jnp.where(done, eos_id, tok)
+
+        cache = {
+            "k": cache_x["k"][:, rows],
+            "v": cache_x["v"][:, rows],
+            "length": cache_x["length"][rows],
+        }
+        hist = hist.at[jnp.arange(B), n_hist].set(
+            hn[jnp.arange(B), best]
+        )
+        out = out.at[:, t].set(tok)
+        done = done | (tok == eos_id)
+        logits = lg[:, 0].reshape(B, k, V)[jnp.arange(B), best]
+        return (t + 1, logits, cache, hist, done, out)
+
+    def cond(state):
+        t, _, _, _, done, _ = state
+        return (t < max_new_tokens) & ~jnp.all(done)
+
+    out = jnp.full((B, max_new_tokens), eos_id, jnp.int32)
+    state = (jnp.int32(0), first_logits, cache, hist,
+             jnp.zeros((B,), bool), out)
+
+    def body(state):
+        t, logits, cache, hist, done, out = step(state)
+        return (t, logits, cache, hist, done, out)
+
+    state = jax.lax.while_loop(cond, body, state)
+    return state[5]
+
+
+def contrastive_search(
+    params, lora, ids, lengths, cfg, lcfg=LoraConfig(), *,
+    max_new_tokens=256, eos_id=2, top_k=4, penalty_alpha=0.6, max_len=None,
+):
+    """HF contrastive search (``penalty_alpha`` + ``top_k``)."""
+    B, S = ids.shape
+    max_len = max_len or (S + max_new_tokens)
+    cache = init_cache(cfg, B, max_len)
+    positions = jnp.arange(S)[None, :].repeat(B, 0)
+    logits, cache, h = forward(
+        params, lora, ids, cfg, lcfg, cache=cache, positions=positions,
+        return_hidden=True,
+    )
+    cache = dict(cache, length=lengths)
+    last = jnp.take_along_axis(logits, (lengths - 1)[:, None, None], axis=1)[:, 0]
+
+    # history buffer of normalized hidden states (prompt rows beyond length
+    # are masked out by hist_len in the loop)
+    D = h.shape[-1]
+    hf32 = h.astype(jnp.float32)
+    hn = hf32 / jnp.maximum(jnp.linalg.norm(hf32, axis=-1, keepdims=True), 1e-6)
+    hist = jnp.zeros((B, max_len + max_new_tokens, D), jnp.float32)
+    hist = hist.at[:, :S].set(hn)
+
+    # note: hist_len advances by one per generated token; passed as the
+    # running insert position (starts at prompt length)
+    return _contrastive_loop(
+        params, lora, last, cache, hist, lengths,
+        cfg=cfg, lcfg=lcfg, max_new_tokens=max_new_tokens, eos_id=eos_id,
+        top_k=int(top_k), penalty_alpha=float(penalty_alpha),
+    )

@@ -89,11 +89,14 @@ def _block_linear(block, lora, name, x, lcfg: LoraConfig, rng):
 
 
 def _attn(cfg, block, lora, lcfg, x, cos, sin, mask, cache_kv, pos, rng,
-          flash_lengths=None):
+          flash_lengths=None, sp_axis=None):
     """Attention sub-block. cache_kv: None or (k_buf, v_buf) [B, T, KVH, hd].
 
     flash_lengths: [B] valid-key lengths — when set (and no cache), attention
     runs through the Pallas flash kernel instead of the jnp path.
+    sp_axis: sequence-parallel mesh axis — when set (inside shard_map with
+    the sequence dim sharded), attention runs through the ring-attention
+    collective (ops.ring_attention) so every query attends every key.
     """
     B, S, D = x.shape
     H, KVH, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -146,6 +149,22 @@ def _attn(cfg, block, lora, lcfg, x, cos, sin, mask, cache_kv, pos, rng,
         )(v_buf, v, pos[:, 0])
         attn_out = attention(q, k_buf, v_buf, mask)
         new_cache = (k_buf, v_buf)
+    elif sp_axis is not None:
+        from qlora_tpu.ops.ring_attention import ring_attention
+
+        qh = jnp.transpose(q, (0, 2, 1, 3))  # [B, H, S, hd]
+        kh = jnp.transpose(k, (0, 2, 1, 3))
+        vh = jnp.transpose(v, (0, 2, 1, 3))
+        if KVH != H:                          # GQA: repeat KV heads
+            kh = jnp.repeat(kh, H // KVH, axis=1)
+            vh = jnp.repeat(vh, H // KVH, axis=1)
+        oh = ring_attention(
+            qh.astype(jnp.bfloat16), kh.astype(jnp.bfloat16),
+            vh.astype(jnp.bfloat16), axis_name=sp_axis,
+            sm_scale=1.0 / (hd ** 0.5), causal=True,
+        )
+        attn_out = jnp.transpose(oh, (0, 2, 1, 3))
+        new_cache = None
     elif flash_lengths is not None:
         from qlora_tpu.ops.flash_attention import flash_attention
 
@@ -183,19 +202,19 @@ def _mlp(cfg, block, lora, lcfg, x, rng):
 
 
 def block_forward(cfg, lcfg, x, block, lora, cos, sin, mask, cache_kv, pos, rng,
-                  flash_lengths=None):
+                  flash_lengths=None, sp_axis=None):
     """One transformer block. Returns (x, new_cache_kv)."""
     if cfg.arch == "llama":
         h = rms_norm(x, block["attn_norm"], cfg.norm_eps)
         a, new_cache = _attn(cfg, block, lora, lcfg, h, cos, sin, mask, cache_kv,
-                             pos, rng, flash_lengths)
+                             pos, rng, flash_lengths, sp_axis)
         x = x + a
         h2 = rms_norm(x, block["mlp_norm"], cfg.norm_eps)
         x = x + _mlp(cfg, block, lora, lcfg, h2, rng)
     else:
         h1 = layer_norm(x, block["ln1"]["scale"], block["ln1"]["bias"], cfg.norm_eps)
         a, new_cache = _attn(cfg, block, lora, lcfg, h1, cos, sin, mask, cache_kv,
-                             pos, rng, flash_lengths)
+                             pos, rng, flash_lengths, sp_axis)
         if cfg.use_parallel_residual:
             h2 = layer_norm(x, block["ln2"]["scale"], block["ln2"]["bias"], cfg.norm_eps)
             x = x + a + _mlp(cfg, block, lora, lcfg, h2, rng)
@@ -224,8 +243,12 @@ def forward(
     rng: Optional[jax.Array] = None,
     remat: bool = False,
     use_flash: str = "auto",   # "auto" | "never" | "always"
+    return_hidden: bool = False,
+    sp_axis: Optional[str] = None,   # sequence-parallel shard_map axis
 ) -> tuple[jax.Array, Optional[dict]]:
-    """Returns (logits [B, S, V] f32, updated cache or None)."""
+    """Returns (logits [B, S, V] f32, updated cache or None); with
+    ``return_hidden`` a third element: the post-final-norm hidden states
+    [B, S, D] (HF last_hidden_state — contrastive search needs them)."""
     from qlora_tpu.models.layers import lookup_embedding
 
     B, S = ids.shape
@@ -233,7 +256,14 @@ def forward(
     # (tp, fsdp); lookup_embedding reassembles full-D activations
     x = lookup_embedding(params["embed"], ids, jnp.bfloat16)
 
-    if positions is None:
+    if sp_axis is not None:
+        # sequence-parallel training: this device holds a contiguous S-shard;
+        # RoPE positions are global, causality is enforced inside
+        # ring_attention (no local mask)
+        assert cache is None, "sp_axis is a training/prefill-only path"
+        offset = jax.lax.axis_index(sp_axis) * S
+        positions = offset + jnp.arange(S)[None, :].repeat(B, 0)
+    elif positions is None:
         if cache is not None:
             positions = cache["length"][:, None] + jnp.arange(S)[None, :]
         else:
@@ -245,7 +275,9 @@ def forward(
     )
 
     paged = cache is not None and "k_pages" in cache
-    if paged:
+    if sp_axis is not None:
+        mask = None  # ring attention enforces global causality itself
+    elif paged:
         mask = None  # the paged kernel masks by length internally
     elif cache is not None:
         T = cache["k"].shape[2]
@@ -272,12 +304,13 @@ def forward(
     # flash kernel: training/prefill only, 128-aligned seq, lane-friendly head
     flash_ok = (
         cache is None
+        and sp_axis is None
         and use_flash != "never"
         and S % 128 == 0
         and cfg.head_dim % 64 == 0
     )
     if use_flash == "always":
-        flash_ok = cache is None
+        flash_ok = cache is None and sp_axis is None
     flash_lengths = None
     if flash_ok:
         if attn_mask is not None:
@@ -324,7 +357,7 @@ def forward(
         def body_nc(x, per_layer):
             block, lora_l, rng_l = per_layer
             xo, _ = blk(x, block, lora_l, cos, sin, mask, None, positions, rng_l,
-                        flash_lengths)
+                        flash_lengths, sp_axis)
             return xo, None
         body_nc = jax.checkpoint(body_nc) if remat else body_nc
         x, _ = jax.lax.scan(body_nc, x, (params["blocks"], lora, layer_rngs))
@@ -337,6 +370,8 @@ def forward(
             x, params["final_norm"]["scale"], params["final_norm"]["bias"], cfg.norm_eps
         )
     logits = apply_linear(params["lm_head"], x).astype(jnp.float32)
+    if return_hidden:
+        return logits, new_cache, x
     return logits, new_cache
 
 

@@ -96,3 +96,54 @@ def qmm_repeat(x, packed, am, shape, block_size, quant_type, reps=64,
         ),
         interpret=_use_interpret(),
     )(x, x, packed, am3, am3, tab)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("shape", "reps", "tk", "tn", "tm_max")
+)
+def i8_direct_repeat(x8, w8, s_out, shape, reps=32, tk=2048, tn=512,
+                     tm_max=512):
+    """Repeat-grid mirror of qmatmul._qmm_pallas_i8_direct (the int8
+    decode-serving kernel): per-column int8 weights, int8 MXU dot."""
+    K, N = shape
+    M = x8.shape[0]
+    TM = _pick_tile(M, tuple(t for t in (512, 256, 128, 64, 32, 16)
+                             if t <= tm_max))
+    TK = _pick_tile(K, (tk,)) if K % tk == 0 else _pick_tile(K, (1024, 512, 256))
+    TN = tn
+    grid = (reps, M // TM, N // TN, K // TK)
+
+    def kernel(x_ref, w_ref, s_ref, o_ref, acc_ref):
+        k = pl.program_id(3)
+
+        @pl.when(k == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        acc_ref[:] += jax.lax.dot_general(
+            x_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
+        @pl.when(k == pl.num_programs(3) - 1)
+        def _():
+            o_ref[:] = (acc_ref[:].astype(jnp.float32) * s_ref[:]).astype(
+                jnp.bfloat16)
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TM, TK), lambda r, i, j, k: (i, k)),
+            pl.BlockSpec((TK, TN), lambda r, i, j, k: (k, j)),
+            pl.BlockSpec((1, TN), lambda r, i, j, k: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((TM, TN), lambda r, i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((TM, TN), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        interpret=_use_interpret(),
+    )(x8, w8, s_out)

@@ -181,6 +181,188 @@ def _use_interpret() -> bool:
 
 
 # ---------------------------------------------------------------------------
+# w8a8 decode kernel: NF4 storage, int8 MXU compute (serving opt-in)
+# ---------------------------------------------------------------------------
+#
+# The decode regime (small M) is bound by the MXU dot, whose cost at M≤128
+# is one 128-row pass regardless of M; the int8 MXU runs at 2× the bf16
+# rate, halving that floor.  Nibbles are decoded straight to int8 codes
+# with the per-block absmax folded into a per-COLUMN scale:
+#   w8[k,n] = round(code[idx] · absmax[kb,n] · 127 / colmax[n]) ∈ [-127,127]
+# colmax[n] = max_kb absmax[kb,n] EXACTLY equals max_k |W[k,n]| because the
+# block element that set the absmax quantizes to the ±1 code.  Activations
+# are quantized per row (xs = rowmax/127).  Output:
+#   y = (x8 @ w8) · xs[m] · (colmax[n]/127)
+# Error ≈1.2% relative (int8 per-channel noise) — an OPT-IN decode path
+# (never used for training); bf16 Pallas remains the default.
+
+
+def _w8a8_fwd_kernel(
+    xl_ref, xh_ref, p_ref, rl_ref, rh_ref, s_ref, tab_ref, o_ref, acc_ref,
+    *, block_size, n_slices, out_dtype,
+):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    tab = tab_ref[:]
+    xl = xl_ref[:]
+    xh = xh_ref[:]
+    for s in range(n_slices):
+        sl = slice(s * 128, (s + 1) * 128)
+        p32 = p_ref[:, sl].astype(jnp.int32)
+        wl8 = jnp.round(_scale_rows(
+            jnp.take_along_axis(tab, p32 & 0x0F, axis=1),
+            rl_ref[0, :, sl], block_size)).astype(jnp.int8)
+        wh8 = jnp.round(_scale_rows(
+            jnp.take_along_axis(tab, p32 >> 4, axis=1),
+            rh_ref[0, :, sl], block_size)).astype(jnp.int8)
+        acc_ref[:, sl] += jax.lax.dot_general(
+            xl, wl8, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ) + jax.lax.dot_general(
+            xh, wh8, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = (acc_ref[:].astype(jnp.float32) * s_ref[:]).astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("shape", "block_size", "quant_type", "out_dtype")
+)
+def _qmm_pallas_w8a8(x, packed, am, shape, block_size, quant_type,
+                     out_dtype=jnp.bfloat16):
+    """y ≈ x @ dequant(packed, am) via int8 MXU (decode serving path)."""
+    K, N = shape
+    K2 = K // 2
+    M = x.shape[0]
+    code = CODEBOOKS[quant_type]
+
+    # per-row activation quant (XLA side; negligible at decode M)
+    xf = x.astype(jnp.float32)
+    xs = jnp.max(jnp.abs(xf), axis=1, keepdims=True) / 127.0
+    xs = jnp.where(xs == 0, 1.0, xs)
+    x8 = jnp.round(xf / xs).astype(jnp.int8)
+    x8 = _pad_rows(x8, 32)          # int8 sublane tile
+    Mp = x8.shape[0]
+
+    # fold per-block absmax into per-column int8 scales
+    col = jnp.max(am, axis=0)
+    col = jnp.where(col == 0, 1.0, col)
+    ratio = am * (127.0 / col)[None, :]
+    s_out = (col / 127.0).reshape(1, N)
+
+    TM = _pick_tile(Mp, (1024, 512, 256, 128, 64, 32))
+    TKp = _pick_tile(K2, (1024, 512, 256, 128)) if TM <= 64 else _pick_tile(
+        K2, (512, 256, 128))
+    TN = _pick_tile(N, (512, 256, 128))
+    grid = (Mp // TM, N // TN, K2 // TKp)
+    nb = TKp // block_size
+    koff = K2 // TKp
+    r3 = ratio.reshape((K // block_size) // nb, nb, N)
+    tab = jnp.tile(jnp.asarray(code)[None, :], (TKp, 128 // 16))
+    out = pl.pallas_call(
+        functools.partial(
+            _w8a8_fwd_kernel, block_size=block_size,
+            n_slices=TN // 128, out_dtype=out_dtype,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TM, TKp), lambda i, j, k: (i, k)),
+            pl.BlockSpec((TM, TKp), lambda i, j, k: (i, k + koff)),
+            pl.BlockSpec((TKp, TN), lambda i, j, k: (k, j)),
+            pl.BlockSpec((1, nb, TN), lambda i, j, k: (k, 0, j)),
+            pl.BlockSpec((1, nb, TN), lambda i, j, k: (k + koff, 0, j)),
+            pl.BlockSpec((1, TN), lambda i, j, k: (0, j)),
+            pl.BlockSpec((TKp, 128), lambda i, j, k: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((TM, TN), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((TM, TN), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_use_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * K * N,
+            bytes_accessed=Mp * K + K * N // 2 + 4 * K * N // block_size + Mp * N * 2,
+            transcendentals=0,
+        ),
+    )(x8, x8, packed, r3, r3, s_out, tab)
+    out = out[:M] if Mp != M else out
+    return out * xs.astype(out_dtype)
+
+
+def _i8_direct_kernel(x8_ref, w8_ref, s_ref, o_ref, acc_ref, *, out_dtype):
+    """int8×int8 MXU dot over pre-quantized per-column int8 weights — the
+    decode-serving fast path.  No in-kernel decode: on v5e the decode VPU
+    work (~40µs for a 4096² weight) dominates the M≤128 dot (21.8µs bf16 /
+    10.9µs int8), so serving weights are requantized OFFLINE and read
+    directly (measured: the binder becomes DMA at near-SOL)."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot_general(
+        x8_ref[:], w8_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = (acc_ref[:].astype(jnp.float32) * s_ref[:]).astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "out_dtype"))
+def _qmm_pallas_i8_direct(x, codes, col_scale, shape, out_dtype=jnp.bfloat16):
+    """y ≈ x @ (codes · col_scale/127); codes int8 [K, N] per-column
+    quantized (block_size=K), col_scale f32 [1, N]."""
+    K, N = shape
+    M = x.shape[0]
+    xf = x.astype(jnp.float32)
+    xs = jnp.max(jnp.abs(xf), axis=1, keepdims=True) / 127.0
+    xs = jnp.where(xs == 0, 1.0, xs)
+    x8 = _pad_rows(jnp.round(xf / xs).astype(jnp.int8), 32)
+    Mp = x8.shape[0]
+    s_out = (col_scale.reshape(1, N) / 127.0).astype(jnp.float32)
+
+    TM = _pick_tile(Mp, (512, 256, 128, 64, 32))
+    TK = _pick_tile(K, (1024, 512, 256, 128))
+    TN = _pick_tile(N, (512, 256, 128))
+    grid = (Mp // TM, N // TN, K // TK)
+    out = pl.pallas_call(
+        functools.partial(_i8_direct_kernel, out_dtype=out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TM, TK), lambda i, j, k: (i, k)),
+            pl.BlockSpec((TK, TN), lambda i, j, k: (k, j)),
+            pl.BlockSpec((1, TN), lambda i, j, k: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((TM, TN), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((TM, TN), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_use_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * K * N,
+            bytes_accessed=Mp * K + K * N + Mp * N * 2,
+            transcendentals=0,
+        ),
+    )(x8, codes, s_out)
+    out = out[:M] if Mp != M else out
+    return out * xs.astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
 # int8 kernels (--bits 8 path: unpacked blockwise-int8 weights)
 # ---------------------------------------------------------------------------
 
@@ -522,8 +704,24 @@ def set_default_impl(impl: Optional[str]) -> None:
     Use "xla" before jit-ing a GSPMD multi-device program: XLA can partition
     the dequant+dot graph automatically, whereas a pallas_call would be
     wrapped in all-gathers.  (Multi-chip pallas runs via shard_map instead.)
+    "w8a8" opts the forward into the int8-MXU decode kernel (serving only).
     """
     _IMPL_OVERRIDE[0] = impl
+
+
+import contextlib as _contextlib
+
+
+@_contextlib.contextmanager
+def default_impl(impl: Optional[str]):
+    """Scoped set_default_impl (serving engines wrap decode steps in
+    default_impl("w8a8") to halve the MXU floor — see _qmm_pallas_w8a8)."""
+    prev = _IMPL_OVERRIDE[0]
+    _IMPL_OVERRIDE[0] = impl
+    try:
+        yield
+    finally:
+        _IMPL_OVERRIDE[0] = prev
 
 
 def _resolve_impl(impl: Impl, K, N, quant_type: str = "nf4") -> str:
@@ -559,7 +757,30 @@ def _qmm_forward(x, qt, impl):
     # derive dims from the leaves, not qt.shape metadata: under shard_map the
     # leaves are per-device shards and the static shape describes the global
     K, N = logical_k(qt), qt.packed.shape[1]
-    if _resolve_impl(impl, K, N, qt.quant_type) == "pallas":
+    if qt.k_shards > 1:
+        # global view of a K-sharded (per-chunk-packed) tensor: only the
+        # chunk-aware dequant path understands the layout.  Per-shard use
+        # goes through blockwise.local_chunk, which restores the kernels.
+        w = dequantize(qt, dtype=jnp.bfloat16)
+        return jnp.dot(x.astype(jnp.bfloat16), w,
+                       preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    resolved = _resolve_impl(impl, K, N, qt.quant_type)
+    if resolved == "w8a8" and K % 128 == 0 and N % 128 == 0:
+        if qt.quant_type == "int8" and qt.block_size == K:
+            # per-column int8 serving weights → direct int8 MXU dot
+            col = _absmax_f32_local(qt, K, N)
+            return _qmm_pallas_i8_direct(
+                x, qt.packed, col, (K, N), out_dtype=jnp.bfloat16,
+            )
+        if qt.quant_type in ("nf4", "fp4") and _supports_pallas_tiles(K, N):
+            return _qmm_pallas_w8a8(
+                x, qt.packed, _absmax_f32_local(qt, K, N), (K, N),
+                qt.block_size, qt.quant_type, out_dtype=jnp.bfloat16,
+            )
+    if resolved == "w8a8":
+        resolved = ("pallas"
+                    if _supports_pallas_tiles(K, N, qt.quant_type) else "xla")
+    if resolved == "pallas":
         if qt.quant_type == "int8":
             am = _absmax_f32_local(qt, K, N)
             return _qmm_pallas_i8(
@@ -588,7 +809,12 @@ def _qmm_fwd_rule(x, qt, impl):
 
 def _qmm_bwd_rule(impl, qt, g):
     K, N = logical_k(qt), qt.packed.shape[1]
-    if _resolve_impl(impl, K, N, qt.quant_type) == "pallas":
+    resolved = ("xla" if qt.k_shards > 1
+                else _resolve_impl(impl, K, N, qt.quant_type))
+    if resolved == "w8a8":  # the int8 path is forward/serving-only
+        resolved = ("pallas"
+                    if _supports_pallas_tiles(K, N, qt.quant_type) else "xla")
+    if resolved == "pallas":
         am = _absmax_f32_local(qt, K, N)
         if qt.quant_type == "int8":
             dx = _qmm_bwd_pallas_i8(

@@ -13,6 +13,9 @@ from .blockwise import (
     unpack_indices,
     double_quantize_absmax,
     dequantize_absmax,
+    quantize_k_sharded,
+    local_chunk,
+    logical_k,
     DEFAULT_BLOCK,
     ABSMAX_BLOCK,
 )
@@ -21,5 +24,6 @@ __all__ = [
     "NF4_CODE", "FP4_CODE", "get_code", "derive_nf4_codebook",
     "QuantizedTensor", "quantize", "dequantize", "absmax_f32",
     "unpack_indices", "double_quantize_absmax", "dequantize_absmax",
+    "quantize_k_sharded", "local_chunk", "logical_k",
     "DEFAULT_BLOCK", "ABSMAX_BLOCK",
 ]

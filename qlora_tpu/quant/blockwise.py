@@ -52,13 +52,17 @@ class QuantizedTensor:
     non-pytree fields so the object can flow through jit/scan/shard_map.
     """
 
-    packed: jax.Array          # uint8 [K//2, N] (global split-half nibbles)
+    packed: jax.Array          # uint8 [K//2, N] (split-half nibbles) / int8 [K, N]
     absmax: jax.Array          # f32 [K//B, N] (plain) or int8 [K//B, N] (double-quant)
     absmax_scale: Optional[jax.Array]   # f32 [ceil(K//B/256), N] or None
-    absmax_offset: Optional[jax.Array]  # f32 scalar or None
+    absmax_offset: Optional[jax.Array]  # f32 scalar (or [k_shards]) or None
     shape: tuple = struct.field(pytree_node=False)          # logical (K, N)
     block_size: int = struct.field(pytree_node=False, default=DEFAULT_BLOCK)
     quant_type: str = struct.field(pytree_node=False, default="nf4")
+    # >1 ⇒ rows were quantized/packed per K-chunk (shard-local split-half),
+    # enabling row-parallel (K-sharded) use under shard_map: every chunk is
+    # a self-contained QuantizedTensor (see quantize_k_sharded)
+    k_shards: int = struct.field(pytree_node=False, default=1)
 
     @property
     def double_quant(self) -> bool:
@@ -110,8 +114,19 @@ def double_quantize_absmax(absmax: jax.Array):
 def dequantize_absmax(
     q: jax.Array, scales: jax.Array, offset: jax.Array, out_shape: tuple
 ) -> jax.Array:
-    """Inverse of :func:`double_quantize_absmax` → f32 absmax of `out_shape`."""
+    """Inverse of :func:`double_quantize_absmax` → f32 absmax of `out_shape`.
+
+    `offset` may be a [k_shards] vector (K-sharded tensors: one mean offset
+    per chunk); each chunk then dequantizes independently."""
     R, N = out_shape
+    if getattr(offset, "ndim", 0) == 1 and offset.shape[0] > 1:
+        n = offset.shape[0]
+        Rc, Sc = R // n, scales.shape[0] // n
+        return jnp.concatenate([
+            dequantize_absmax(q[i * Rc:(i + 1) * Rc],
+                              scales[i * Sc:(i + 1) * Sc], offset[i], (Rc, N))
+            for i in range(n)
+        ], axis=0)
     pad = (-R) % ABSMAX_BLOCK
     blocks = jnp.pad(q.astype(jnp.float32), ((0, pad), (0, 0))).reshape(
         -1, ABSMAX_BLOCK, N
@@ -190,6 +205,52 @@ def logical_k(qt: QuantizedTensor) -> int:
     return qt.packed.shape[-2] * (1 if qt.quant_type == "int8" else 2)
 
 
+def quantize_k_sharded(
+    w: jax.Array,
+    n_shards: int,
+    block_size: int = DEFAULT_BLOCK,
+    quant_type: str = "nf4",
+    double_quant: bool = True,
+) -> QuantizedTensor:
+    """Quantize ``W[K, N]`` with SHARD-LOCAL split-half packing over
+    ``n_shards`` K-chunks — the storage for row-parallel (Megatron) linears:
+    shard chunk i over a mesh axis (packed/absmax/absmax_scale rows split
+    evenly, absmax_offset entry i), and each device's slice is a
+    self-contained QuantizedTensor (see :func:`local_chunk`)."""
+    K, N = w.shape
+    if K % n_shards != 0:
+        raise ValueError(f"K={K} not divisible by n_shards={n_shards}")
+    Kc = K // n_shards
+    parts = [
+        quantize(w[i * Kc:(i + 1) * Kc], block_size, quant_type, double_quant)
+        for i in range(n_shards)
+    ]
+    cat = lambda xs: jnp.concatenate(xs, axis=0)
+    return QuantizedTensor(
+        packed=cat([p.packed for p in parts]),
+        absmax=cat([p.absmax for p in parts]),
+        absmax_scale=(cat([p.absmax_scale for p in parts])
+                      if double_quant else None),
+        absmax_offset=(jnp.stack([p.absmax_offset for p in parts])
+                       if double_quant else None),
+        shape=(K, N), block_size=block_size, quant_type=quant_type,
+        k_shards=n_shards,
+    )
+
+
+def local_chunk(qt: QuantizedTensor) -> QuantizedTensor:
+    """Re-tag a per-device slice of a K-sharded tensor as self-contained
+    (k_shards=1) so the fused kernels apply directly.  Call inside
+    shard_map after the leaves have been sharded down to one chunk
+    (dims re-derive from the local leaves)."""
+    return QuantizedTensor(
+        packed=qt.packed, absmax=qt.absmax, absmax_scale=qt.absmax_scale,
+        absmax_offset=qt.absmax_offset,
+        shape=(logical_k(qt), qt.packed.shape[-1]),
+        block_size=qt.block_size, quant_type=qt.quant_type, k_shards=1,
+    )
+
+
 def absmax_f32(qt: QuantizedTensor) -> jax.Array:
     """The per-block absmax as f32 [K//B, N], undoing double quant if present.
 
@@ -202,11 +263,21 @@ def absmax_f32(qt: QuantizedTensor) -> jax.Array:
     return qt.absmax.astype(jnp.float32)
 
 
-def unpack_indices(packed: jax.Array, block_size: int = DEFAULT_BLOCK) -> jax.Array:
-    """uint8 [K//2, N] → uint8 code indices [K, N] (global split-half)."""
+def unpack_indices(packed: jax.Array, block_size: int = DEFAULT_BLOCK,
+                   k_shards: int = 1) -> jax.Array:
+    """uint8 [K//2, N] → uint8 code indices [K, N] (split-half layout;
+    per-chunk pairing when k_shards > 1)."""
     del block_size  # layout no longer depends on it; kept for API stability
     low = packed & jnp.uint8(0x0F)
     high = packed >> 4
+    if k_shards > 1:
+        K2 = packed.shape[0]
+        Rc = K2 // k_shards
+        return jnp.concatenate([
+            jnp.concatenate([low[i * Rc:(i + 1) * Rc],
+                             high[i * Rc:(i + 1) * Rc]], axis=0)
+            for i in range(k_shards)
+        ], axis=0)
     return jnp.concatenate([low, high], axis=0)
 
 
@@ -221,7 +292,7 @@ def dequantize(qt: QuantizedTensor, dtype=jnp.bfloat16) -> jax.Array:
         vals = qt.packed.astype(jnp.float32) * (1.0 / 127.0)
     else:
         code = get_code(qt.quant_type)
-        idx = unpack_indices(qt.packed, qt.block_size)
+        idx = unpack_indices(qt.packed, qt.block_size, qt.k_shards)
         vals = code[idx.astype(jnp.int32)]  # f32 [K, N]
     w = vals.reshape(K // qt.block_size, qt.block_size, N) * am[:, None, :]
     return w.reshape(K, N).astype(dtype)

@@ -16,4 +16,6 @@ class FakeTokenizer:
         return [3 + b for b in text.encode()]
 
     def decode(self, ids, skip_special_tokens: bool = True):
-        return bytes(i - 3 for i in ids if i >= 3).decode(errors="replace")
+        # models may have vocab > 259 (byte range + specials); ids outside
+        # the byte range decode to nothing (untrained models emit any id)
+        return bytes(i - 3 for i in ids if 3 <= i < 259).decode(errors="replace")

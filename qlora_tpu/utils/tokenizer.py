@@ -57,21 +57,66 @@ def load_tokenizer(
     *,
     model_vocab_size: Optional[int] = None,
     llama_special_token_fix: bool = True,
+    use_fast: bool = False,
+    config_eos_id: Optional[int] = None,
+    config_bos_id: Optional[int] = None,
+    config_pad_id: Optional[int] = None,
 ):
     """Load an HF tokenizer with the reference's repairs applied.
 
+    Reference parity (qlora.py:347-374): the SLOW tokenizer path is the
+    default (``use_fast=False``, forced at qlora.py:351 — fast/slow LLaMA
+    tokenizers differ on added-token and whitespace edge cases, a silent
+    loss-parity risk).  If the checkpoint ships no slow tokenizer (or
+    sentencepiece is unavailable) we fall back to fast with a warning.
+
+    Special-token repair: eos/bos/unk re-pointed at the MODEL CONFIG's ids
+    when provided (qlora.py:362-374 — ``convert_ids_to_tokens`` of
+    config.eos/bos/pad ids), including the bos_token_id=1 LLaMA fix
+    (README.md:138).  Pad handling: reference behavior adds ``[PAD]`` via
+    mean-init embedding resize (qlora.py:356-361); when the tokenizer has
+    an ``<unk>`` we instead pad with unk id 0 (the reference's own
+    documented inference-side convention, examples/guanaco_generate.py:37)
+    so pre-quantized checkpoints never need a vocab resize.
+
     Returns (Tokenizer, n_added_tokens).
     """
+    import logging
+
     from transformers import AutoTokenizer
 
-    tok = AutoTokenizer.from_pretrained(
-        name_or_path, padding_side="right", use_fast=True
-    )
+    try:
+        tok = AutoTokenizer.from_pretrained(
+            name_or_path, padding_side="right", use_fast=use_fast
+        )
+    except Exception as e:  # noqa: BLE001 — no slow class / no spm model
+        if use_fast:
+            raise
+        logging.getLogger("qlora_tpu").warning(
+            "slow tokenizer unavailable for %s (%s); falling back to fast",
+            name_or_path, e,
+        )
+        tok = AutoTokenizer.from_pretrained(
+            name_or_path, padding_side="right", use_fast=True
+        )
+
+    # eos/bos/unk repair from the model config's ids (qlora.py:362-374)
+    repairs = {}
+    if config_eos_id is not None:
+        repairs["eos_token"] = tok.convert_ids_to_tokens(config_eos_id)
+    if config_bos_id is not None:
+        repairs["bos_token"] = tok.convert_ids_to_tokens(config_bos_id)
+    if config_pad_id is not None and config_pad_id != -1:
+        repairs["unk_token"] = tok.convert_ids_to_tokens(config_pad_id)
+    if repairs and llama_special_token_fix:
+        tok.add_special_tokens(
+            {k: v for k, v in repairs.items() if v is not None}
+        )
+
     n_added = 0
     if tok.pad_token is None:
         if llama_special_token_fix and tok.unk_token is not None:
-            # LLaMA convention: pad with <unk> (id 0), matching
-            # tokenizer.pad_token_id = 0 in the reference (qlora.py:371-374)
+            # LLaMA convention: pad with <unk> (id 0) — no resize needed
             tok.pad_token = tok.unk_token
         else:
             n_added += tok.add_special_tokens({"pad_token": DEFAULT_PAD_TOKEN})

@@ -40,12 +40,19 @@ def make_openai_chat(model: str):
 
 
 def main():
+    # bundled Vicuna banks (eval/prompts/) make a judge run turnkey: only
+    # the two answer files are required
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+    banks = os.path.join(root, "eval", "prompts")
     ap = argparse.ArgumentParser()
-    ap.add_argument("--questions", required=True)
+    ap.add_argument("--questions",
+                    default=os.path.join(banks, "vicuna_questions.jsonl"))
     ap.add_argument("--answers1", required=True)
     ap.add_argument("--answers2", required=True)
-    ap.add_argument("--reviewers", required=True)
-    ap.add_argument("--prompts", required=True)
+    ap.add_argument("--reviewers",
+                    default=os.path.join(banks, "reviewer.jsonl"))
+    ap.add_argument("--prompts",
+                    default=os.path.join(banks, "vicuna_prompt_threeclass.jsonl"))
     ap.add_argument("--mode", choices=["threeclass", "relative"],
                     default="threeclass")
     ap.add_argument("--output", required=True)

@@ -47,3 +47,29 @@ def test_evaluate_mmlu_runs_and_scores():
     assert "mmlu_loss" in res and np.isfinite(res["mmlu_loss"])
     assert "mmlu_eval_accuracy_s1" in res and "mmlu_eval_accuracy_s2" in res
     assert 0.0 <= res["mmlu_eval_accuracy"] <= 1.0
+
+
+def test_bundled_five_shot_fixture_resolves_and_pins_accuracy():
+    """VERDICT item 8: --mmlu_dataset mmlu-fs works out of the box (bundled
+    data/mmlu/five_shot_mmlu_val.json) and a fixed model on a fixed slice
+    reproduces a pinned accuracy — a regression anchor for the whole
+    rank-classification pipeline (data → collator → logits → A/B/C/D)."""
+    import os
+
+    from qlora_tpu.cli import Args, _resolve_mmlu_path
+
+    path = _resolve_mmlu_path(Args(mmlu_dataset="mmlu-fs", mmlu_split="eval"))
+    assert path is not None and os.path.exists(path), path
+    rows = load_mmlu_file(path, max_samples=24)
+    assert all(r["output"] in "ABCD" for r in rows)
+    assert "Answer: " in rows[0]["input"]   # five-shot examples present
+
+    cfg = get_config("debug")
+    params = init_params(jax.random.PRNGKey(0), cfg, quantized=True)
+    res = evaluate_mmlu(
+        params, None, cfg, FakeTokenizer(), rows,
+        lcfg=LoraConfig(r=4), batch_size=4, source_max_len=512,
+    )
+    # pinned expectation: random debug model + fixed slice + fixed seed is
+    # fully deterministic on CPU; update ONLY with an understood change
+    assert abs(res["mmlu_eval_accuracy"] - 8 / 24) < 1e-6

@@ -52,6 +52,10 @@ def _single_process_reference():
 
 @pytest.mark.slow
 def test_two_process_cpu_pod_matches_single_process(tmp_path):
+    # reference FIRST: jax compile pools have wedged for many minutes when
+    # the parent compiles after managing subprocesses on this 4-cpu box
+    ref_losses, ref_gnorms = _single_process_reference()
+
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
     env = {k: v for k, v in os.environ.items()
@@ -65,12 +69,19 @@ def test_two_process_cpu_pod_matches_single_process(tmp_path):
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=600)
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            # never leave orphaned workers spinning in a collective
+            for q in procs:
+                q.kill()
+            out, _ = p.communicate()
+            pytest.fail(f"worker timed out; partial output:\n"
+                        f"{out.decode()[-2000:]}")
         outs.append(out.decode())
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
 
-    ref_losses, ref_gnorms = _single_process_reference()
     for pid in range(2):
         with open(tmp_path / f"result_{pid}.json") as f:
             res = json.load(f)

@@ -155,3 +155,36 @@ def test_paged_batcher_long_prompt_truncates_not_crashes():
     toks = generate(params, None, jnp.asarray([kept], jnp.int32),
                     jnp.asarray([len(kept)]), cfg, max_new_tokens=4, eos_id=-1)
     assert r.generated == np.asarray(toks)[0].tolist()
+
+
+def test_sliding_window_page_eviction_allows_long_generation():
+    """Rolling eviction: a windowed model generates past the pool capacity
+    because pages fully behind the window are freed.  Eviction only ever
+    touches MASKED positions, so the evicting run must be BIT-identical to
+    a non-evicting paged run with an ample pool."""
+    from qlora_tpu.generate.paged import PagedBatcher
+    from qlora_tpu.models.config import ModelConfig
+
+    cfg = ModelConfig(
+        arch="llama", vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_layers=2, num_heads=2, num_kv_heads=2, sliding_window=8,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg, quantized=True)
+    prompt = [5, 9, 3]
+    n_new = 30
+    # 7 usable pages x 4 = 28 pooled tokens < 3 + 30 total: only eviction
+    # lets this complete
+    pb = PagedBatcher(params, None, cfg, num_slots=1, n_pages=8, page_size=4,
+                      max_pages_per_seq=16, prefill_buckets=(16,), eos_id=-1)
+    r = pb.submit(prompt, max_new_tokens=n_new)
+    pb.run_to_completion()
+    assert len(r.generated) == n_new
+    assert pb.pool.n_free == 7      # everything released (page 0 reserved)
+
+    ref = PagedBatcher(params, None, cfg, num_slots=1, n_pages=32,
+                       page_size=4, max_pages_per_seq=16,
+                       prefill_buckets=(16,), eos_id=-1,
+                       rolling_eviction=False)
+    r2 = ref.submit(prompt, max_new_tokens=n_new)
+    ref.run_to_completion()
+    assert r.generated == r2.generated

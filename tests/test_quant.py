@@ -163,3 +163,57 @@ def test_bf16_input_quantizes():
     wr = np.asarray(dequantize(qt16, dtype=jnp.float32))
     # error bounded by NF4 gap/2 * absmax (absmax <= ~4 for this seed) + bf16 rounding
     assert np.abs(wr - w).max() < 0.5
+
+
+def test_k_sharded_quantization_round_trip_and_row_parallel():
+    """Shard-local split-half packing (row-parallel storage): global
+    dequant equals per-chunk dequant, and a shard_map row-parallel matmul
+    (local chunk + psum) matches the dense product."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from qlora_tpu.ops.qmatmul import qmatmul
+    from qlora_tpu.quant.blockwise import (
+        QuantizedTensor, dequantize, local_chunk, quantize, quantize_k_sharded,
+    )
+
+    if len(jax.devices()) < 4:
+        import pytest
+        pytest.skip("needs 4 virtual devices")
+
+    K, N, S = 512, 256, 4
+    w = jax.random.normal(jax.random.PRNGKey(0), (K, N), jnp.float32) * 0.05
+    qt = quantize_k_sharded(w, S)
+    assert qt.k_shards == S and qt.absmax_offset.shape == (S,)
+
+    # global chunk-aware dequant ≡ concatenation of per-chunk quantize
+    per_chunk = jnp.concatenate([
+        dequantize(quantize(w[i * (K // S):(i + 1) * (K // S)]), jnp.float32)
+        for i in range(S)
+    ], axis=0)
+    np.testing.assert_allclose(np.asarray(dequantize(qt, jnp.float32)),
+                               np.asarray(per_chunk), atol=1e-6)
+
+    # row-parallel matmul under shard_map: x K-sharded, psum of partials
+    mesh = Mesh(np.asarray(jax.devices()[:S]).reshape(S), ("tp",))
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, K), jnp.float32)
+
+    def local_fn(x_loc, qt_shard):
+        y_part = qmatmul(x_loc, local_chunk(qt_shard))
+        return jax.lax.psum(y_part.astype(jnp.float32), "tp")
+
+    qt_specs = QuantizedTensor(
+        packed=P("tp", None), absmax=P("tp", None),
+        absmax_scale=P("tp", None), absmax_offset=P("tp"),
+        shape=qt.shape, block_size=qt.block_size, quant_type=qt.quant_type,
+        k_shards=qt.k_shards,
+    )
+    f = shard_map(local_fn, mesh=mesh, in_specs=(P(None, "tp"), qt_specs),
+                  out_specs=P(), check_rep=False)
+    got = jax.jit(f)(x, qt)
+    want = x @ dequantize(qt, jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-2, rtol=5e-2)

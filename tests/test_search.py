@@ -1,0 +1,92 @@
+"""Group (diverse) beam search + contrastive search — HF-semantics
+invariants on a tiny model (closes the reference surface
+num_beam_groups/diversity_penalty/penalty_alpha, qlora.py:230-240)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qlora_tpu.generate import SamplingParams, generate
+from qlora_tpu.generate.engine import beam_search
+from qlora_tpu.generate.search import contrastive_search, group_beam_search
+from qlora_tpu.models import get_config, init_params
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = get_config("debug")
+    params = init_params(jax.random.PRNGKey(0), cfg, quantized=True)
+    ids = jnp.asarray([[3, 17, 5, 9], [11, 2, 6, 1]], jnp.int32)
+    lengths = jnp.asarray([4, 4])
+    return cfg, params, ids, lengths
+
+
+def test_single_group_equals_plain_beam_search(setup):
+    cfg, params, ids, lengths = setup
+    a = group_beam_search(params, None, ids, lengths, cfg, num_beams=4,
+                          num_beam_groups=1, max_new_tokens=6, eos_id=-1)
+    b = beam_search(params, None, ids, lengths, cfg, num_beams=4,
+                    max_new_tokens=6, eos_id=-1)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_zero_diversity_first_group_is_greedy_beam(setup):
+    cfg, params, ids, lengths = setup
+    # k groups of 1 beam, no diversity penalty: every group collapses to the
+    # same greedy continuation, so the result equals greedy decoding
+    greedy = generate(params, None, ids, lengths, cfg, max_new_tokens=6,
+                      eos_id=-1, sparams=SamplingParams())
+    g = group_beam_search(params, None, ids, lengths, cfg, num_beams=3,
+                          num_beam_groups=3, diversity_penalty=0.0,
+                          max_new_tokens=6, eos_id=-1)
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(greedy))
+
+
+def test_diversity_penalty_changes_groups(setup):
+    cfg, params, ids, lengths = setup
+    base = group_beam_search(params, None, ids, lengths, cfg, num_beams=4,
+                             num_beam_groups=2, diversity_penalty=0.0,
+                             max_new_tokens=6, eos_id=-1)
+    div = group_beam_search(params, None, ids, lengths, cfg, num_beams=4,
+                            num_beam_groups=2, diversity_penalty=100.0,
+                            max_new_tokens=6, eos_id=-1)
+    # a huge Hamming penalty forces later groups off the shared argmax;
+    # outputs stay valid token ids
+    assert np.asarray(div).shape == np.asarray(base).shape
+    assert ((np.asarray(div) >= 0) & (np.asarray(div) < cfg.vocab_size)).all()
+
+
+def test_beams_not_divisible_by_groups_raises(setup):
+    cfg, params, ids, lengths = setup
+    with pytest.raises(ValueError):
+        group_beam_search(params, None, ids, lengths, cfg, num_beams=4,
+                          num_beam_groups=3, max_new_tokens=4)
+
+
+def test_contrastive_alpha0_equals_greedy(setup):
+    cfg, params, ids, lengths = setup
+    greedy = generate(params, None, ids, lengths, cfg, max_new_tokens=6,
+                      eos_id=-1, sparams=SamplingParams())
+    c = contrastive_search(params, None, ids, lengths, cfg, top_k=4,
+                           penalty_alpha=0.0, max_new_tokens=6, eos_id=-1)
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(greedy))
+
+
+def test_contrastive_runs_and_penalizes_degeneration(setup):
+    cfg, params, ids, lengths = setup
+    c = contrastive_search(params, None, ids, lengths, cfg, top_k=4,
+                           penalty_alpha=0.6, max_new_tokens=8, eos_id=-1)
+    arr = np.asarray(c)
+    assert arr.shape == (2, 8)
+    assert ((arr >= 0) & (arr < cfg.vocab_size)).all()
+
+
+def test_generate_dispatches_search_variants(setup):
+    cfg, params, ids, lengths = setup
+    g = generate(params, None, ids, lengths, cfg, max_new_tokens=4, eos_id=-1,
+                 num_beams=4, num_beam_groups=2, diversity_penalty=1.0)
+    assert np.asarray(g).shape == (2, 4)
+    c = generate(params, None, ids, lengths, cfg, max_new_tokens=4, eos_id=-1,
+                 penalty_alpha=0.6, sparams=SamplingParams(top_k=4))
+    assert np.asarray(c).shape == (2, 4)
