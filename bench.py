@@ -36,6 +36,14 @@ MXU_BF16_TFLOPS = 197.0    # TPU v5e chip peak (bf16)
 
 
 def _slope(make_fn, r1=8, r2=56, tries=8):
+    """Per-repeat device time from the (R2−R1) wall-clock slope.
+
+    CRITICAL: the relay has a ~30 ms fixed dispatch floor that wall-clock
+    sits on until R×per_rep exceeds it, so both R points must put device
+    time well above the floor — r1/r2 are chosen per metric so that
+    r1×per_rep ≳ 20 ms.  Small-R slopes (e.g. 8/56 on a 25 µs kernel)
+    measure noise and can report impossible numbers (>1.0 MFU).
+    """
     ts = {}
     for R in (r1, r2):
         f = make_fn(R)
@@ -86,7 +94,7 @@ def main():
             return jnp.sum(o.astype(jnp.float32) * xs)
         return jax.jit(f)
 
-    t = _slope(mk_i8)
+    t = _slope(mk_i8, r1=800, r2=1600, tries=6)
     head_gbps = i8_bytes / t / 1e9
     headline = {
         "metric": "decode_serving_weight_read",
@@ -106,7 +114,7 @@ def main():
                 qt.shape, qt.block_size, qt.quant_type, reps=R,
                 tkp_max=tkp).astype(jnp.float32)))
 
-        t2 = _slope(mk_nf4)
+        t2 = _slope(mk_nf4, r1=300, r2=600, tries=6)
         g2 = nf4_bytes / t2 / 1e9
         extras.append({
             "metric": f"nf4_fused_matmul_weight_read_m{M2}",
@@ -124,7 +132,7 @@ def main():
             qt.shape, qt.block_size, qt.quant_type, reps=R,
             tkp_max=512).astype(jnp.float32)))
 
-    t3 = _slope(mk_train, r1=4, r2=20)
+    t3 = _slope(mk_train, r1=80, r2=160, tries=6)
     mfu = 2 * M3 * K * N / t3 / (MXU_BF16_TFLOPS * 1e12)
     extras.append({
         "metric": "nf4_train_regime_mxu_util_m1024",

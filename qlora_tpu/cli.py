@@ -117,6 +117,10 @@ class Args:
     mesh_dp: int = 1
     mesh_fsdp: int = 1
     mesh_tp: int = 1
+    # "gather" = column-parallel every linear, all-gather outputs (works for
+    # any mesh incl. fsdp); "megatron" = head-parallel attention +
+    # row-parallel wo/w_down — 2 psums per block, requires fsdp=1
+    tp_style: str = "gather"
     # multi-host process group (reference analog: torchrun env,
     # qlora.py:300-304); all three unset = single process / auto pod env
     coordinator_address: Optional[str] = None
@@ -378,15 +382,65 @@ def train(args: Args) -> dict:
                     f"mesh {args.mesh_dp}x{args.mesh_fsdp}x{args.mesh_tp} "
                     f"needs {ndev} devices, have {len(jax.devices())}"
                 )
+            if mode != "lora":
+                raise NotImplementedError("mesh training supports LoRA mode")
+            if args.tp_style not in ("gather", "megatron"):
+                raise ValueError(f"unknown tp_style {args.tp_style!r}")
+            if args.tp_style == "megatron":
+                # head-parallel attention + row-parallel projections: 2 psums
+                # per block, tp-sharded LoRA/optimizer state
+                if args.mesh_fsdp > 1:
+                    raise ValueError(
+                        "tp_style=megatron requires mesh_fsdp=1 "
+                        "(compose fsdp via tp_style=gather)")
+                from qlora_tpu.parallel.megatron_step import (
+                    _opt_specs_like,
+                    make_megatron_train_step,
+                    megatron_lora_specs,
+                    megatron_param_specs,
+                    requantize_row_parallel,
+                )
+
+                mesh_m = Mesh(
+                    _np.asarray(jax.devices()[:ndev]).reshape(
+                        args.mesh_dp, args.mesh_tp),
+                    ("dp", "tp"),
+                )
+                params = requantize_row_parallel(params, args.mesh_tp)
+
+                def _put(tree, specs):
+                    from jax.sharding import PartitionSpec as _P
+                    return jax.tree_util.tree_map(
+                        lambda x, s: jax.device_put(
+                            x, NamedSharding(mesh_m, s)),
+                        tree, specs, is_leaf=lambda x: isinstance(x, _P),
+                    )
+
+                lspecs = megatron_lora_specs(state.trainable)
+                ospecs = _opt_specs_like(
+                    state.opt_state, state.trainable, lspecs)
+                state = state.replace(
+                    trainable=_put(state.trainable, lspecs),
+                    opt_state=_put(state.opt_state, ospecs),
+                )
+                params = _put(params, megatron_param_specs(params))
+                sh_fn = make_megatron_train_step(
+                    cfg, lcfg, optimizer, mesh_m, params, state,
+                    accum_steps=args.gradient_accumulation_steps,
+                    clip_norm=args.max_grad_norm, donate=False,
+                )
+                step_fn = lambda st, fr, b, r: sh_fn(st, fr, b, r)
+                # skip the gather-style setup below
+                _megatron = True
+            else:
+                _megatron = False
             mesh = Mesh(
                 _np.asarray(jax.devices()[:ndev]).reshape(
                     args.mesh_dp, args.mesh_fsdp, args.mesh_tp
                 ),
                 ("dp", "fsdp", "tp"),
             )
-            if mode != "lora":
-                raise NotImplementedError("mesh training supports LoRA mode")
-            if args.mesh_fsdp > 1:
+            if not _megatron and args.mesh_fsdp > 1:
                 # ZeRO-1: convert the (fresh or checkpoint-restored) full
                 # opt state to the flat fsdp-sharded layout
                 z = opt_state_full_to_zero1(
@@ -401,15 +455,17 @@ def train(args: Args) -> dict:
                 ckpt_opt_state = lambda st: opt_state_zero1_to_full(
                     st.opt_state, st.trainable, optimizer
                 )
-            params = jax.tree_util.tree_map(
-                jax.device_put, params, sharded_param_shardings(params, mesh)
-            )
-            sh_fn = make_sharded_train_step(
-                cfg, lcfg, optimizer, mesh, params, state,
-                accum_steps=args.gradient_accumulation_steps,
-                clip_norm=args.max_grad_norm, donate=False,
-            )
-            step_fn = lambda st, fr, b, r: sh_fn(st, fr, b, r)
+            if not _megatron:
+                params = jax.tree_util.tree_map(
+                    jax.device_put, params,
+                    sharded_param_shardings(params, mesh)
+                )
+                sh_fn = make_sharded_train_step(
+                    cfg, lcfg, optimizer, mesh, params, state,
+                    accum_steps=args.gradient_accumulation_steps,
+                    clip_norm=args.max_grad_norm, donate=False,
+                )
+                step_fn = lambda st, fr, b, r: sh_fn(st, fr, b, r)
         else:
             step_fn = make_train_step(
                 cfg, lcfg, optimizer,

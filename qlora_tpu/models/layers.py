@@ -59,14 +59,18 @@ Linear = Union[QLinear, DenseLinear]
 # outputs; activations replicated across tp); fsdp = weight-gathered (the
 # N-shard is further split over fsdp in storage and all-gathered just-in-time
 # per layer — ZeRO-3 for the frozen base weights, recomputed under remat).
-_SHARD_CTX: list = [(None, None)]
+# style: "gather" = every linear gathers its outputs (simple, works for any
+# shape); "megatron" = head-parallel attention + row-parallel output
+# projections — one psum per sub-block instead of an all-gather per linear.
+_SHARD_CTX: list = [(None, None, "gather")]
 
 
 @contextlib.contextmanager
-def tp_shard_context(axis_name: Optional[str], fsdp_axis: Optional[str] = None):
+def tp_shard_context(axis_name: Optional[str], fsdp_axis: Optional[str] = None,
+                     style: str = "gather"):
     """Enable tensor parallelism (and optional fsdp weight-gathering) for
     apply_linear calls inside shard_map."""
-    _SHARD_CTX.append((axis_name, fsdp_axis))
+    _SHARD_CTX.append((axis_name, fsdp_axis, style))
     try:
         yield
     finally:
@@ -74,7 +78,7 @@ def tp_shard_context(axis_name: Optional[str], fsdp_axis: Optional[str] = None):
 
 
 def shard_ctx_axes() -> tuple:
-    """The (tp_axis, fsdp_axis) currently in effect (None when unsharded)."""
+    """The (tp_axis, fsdp_axis, style) currently in effect."""
     return _SHARD_CTX[-1]
 
 
@@ -125,6 +129,26 @@ def _gcsb_bwd(axis_name, n_local, g):
 _gather_cols_fwd_slice_bwd.defvjp(_gcsb_fwd, _gcsb_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _psum_fwd_ident_bwd(y, axis_name):
+    """Megatron's row-parallel output reducer: psum forward, IDENTITY
+    backward.  The psum'd output is replicated, so every member of the axis
+    receives the exact cotangent; the raw psum's transpose (psum again)
+    would multiply it by the axis size."""
+    return jax.lax.psum(y, axis_name)
+
+
+def _pfib_fwd(y, axis_name):
+    return jax.lax.psum(y, axis_name), None
+
+
+def _pfib_bwd(axis_name, _, g):
+    return (g,)
+
+
+_psum_fwd_ident_bwd.defvjp(_pfib_fwd, _pfib_bwd)
+
+
 def lookup_embedding(emb: jax.Array, ids: jax.Array, dtype=jnp.bfloat16):
     """Embedding lookup aware of (tp, fsdp) feature sharding of the table.
 
@@ -134,7 +158,7 @@ def lookup_embedding(emb: jax.Array, ids: jax.Array, dtype=jnp.bfloat16):
     columns of different tokens).  The tp axis replicates the batch, so its
     feature chunks are gathered on the (cheaper) activations after lookup;
     ("tp","fsdp") storage order (fsdp minor) keeps both gathers contiguous."""
-    tp_axis, fsdp_axis = _SHARD_CTX[-1]
+    tp_axis, fsdp_axis, _style = _SHARD_CTX[-1]
     if fsdp_axis is not None:
         emb = _gather_last(emb, fsdp_axis)
     x = emb[ids].astype(dtype)
@@ -171,25 +195,49 @@ def _fsdp_gather_linear(lin: Linear, axis_name: str) -> Linear:
     return DenseLinear(w=_gather_last(lin.w, axis_name), bias=bias)
 
 
-def apply_linear(lin: Linear, x: jax.Array) -> jax.Array:
-    """y = x @ W (+ bias); x [..., K] → [..., N] in bf16."""
-    tp_axis, fsdp_axis = _SHARD_CTX[-1]
+def apply_linear(lin: Linear, x: jax.Array, tp_mode: str = "auto") -> jax.Array:
+    """y = x @ W (+ bias); x [..., K] → [..., N] in bf16.
+
+    tp_mode (only meaningful inside a tp shard context):
+      "gather"      — column-parallel with psum-bwd input + output gather
+                      (the default style; works for any call site)
+      "column"      — column-parallel, NO collectives: output stays an
+                      N-shard (megatron head-/column-local compute; the
+                      caller placed the ident-fwd/psum-bwd op at the
+                      sub-block input)
+      "row_partial" — row-parallel, NO collectives: input is a K-shard,
+                      output is a PARTIAL sum (caller adds LoRA partials
+                      then applies _psum_fwd_ident_bwd once)
+    """
+    tp_axis, fsdp_axis, style = _SHARD_CTX[-1]
+    if tp_mode == "auto":
+        tp_mode = "gather"
     if fsdp_axis is not None:
         lin = _fsdp_gather_linear(lin, fsdp_axis)
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
-    if tp_axis is not None:
+    if tp_axis is not None and tp_mode == "gather":
         x2 = _ident_fwd_psum_bwd(x2, tp_axis)
     if isinstance(lin, QLinear):
-        y = qmatmul(x2, lin.qt)
+        qt = lin.qt
+        if qt.k_shards > 1 and tp_axis is not None:
+            from qlora_tpu.quant.blockwise import local_chunk
+
+            qt = local_chunk(qt)  # this device's self-contained K-chunk
+        y = qmatmul(x2, qt)
     else:
         y = jnp.dot(
             x2.astype(jnp.bfloat16), lin.w.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32,
         ).astype(jnp.bfloat16)
     if lin.bias is not None:
-        y = (y.astype(jnp.float32) + lin.bias.astype(jnp.float32)).astype(jnp.bfloat16)
-    if tp_axis is not None:
+        bias = lin.bias.astype(jnp.float32)
+        if tp_axis is not None and tp_mode == "row_partial":
+            # partials get psum'd by the caller: pre-divide so the reduced
+            # output carries the bias exactly once
+            bias = bias / jax.lax.psum(1.0, tp_axis)
+        y = (y.astype(jnp.float32) + bias).astype(jnp.bfloat16)
+    if tp_axis is not None and tp_mode == "gather":
         y = _gather_cols_fwd_slice_bwd(y, tp_axis)
     return y.reshape(*lead, y.shape[-1])
 

@@ -78,14 +78,24 @@ _LINEAR_RNG_IDS = {
 }
 
 
-def _block_linear(block, lora, name, x, lcfg: LoraConfig, rng):
-    y = apply_linear(block[name], x)
+def _block_linear(block, lora, name, x, lcfg: LoraConfig, rng, tp_mode="auto"):
+    y = apply_linear(block[name], x, tp_mode)
     if lora is not None and name in lora:
         sub = None
         if lcfg.dropout > 0 and rng is not None:
             sub = jax.random.fold_in(rng, _LINEAR_RNG_IDS[name])
+        # megatron modes: for "column" the adapter's B is N-sharded (local
+        # output); for "row_partial" its A is K-sharded (partial output) —
+        # either way the shapes line up and the caller reduces once
         y = y + apply_lora(x, lora[name], lcfg.scale, lcfg.dropout, sub)
     return y
+
+
+def _megatron_axis():
+    from qlora_tpu.models.layers import shard_ctx_axes
+
+    tp_axis, _fsdp, style = shard_ctx_axes()
+    return tp_axis if (style == "megatron" and tp_axis is not None) else None
 
 
 def _attn(cfg, block, lora, lcfg, x, cos, sin, mask, cache_kv, pos, rng,
@@ -102,14 +112,27 @@ def _attn(cfg, block, lora, lcfg, x, cos, sin, mask, cache_kv, pos, rng,
     H, KVH, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     rotary_dim = int(cfg.rotary_pct * hd) // 2 * 2
 
+    mega = _megatron_axis()
+    col = "column" if mega else "auto"
+    if mega:
+        from qlora_tpu.models.layers import _ident_fwd_psum_bwd
+
+        # ONE ident-fwd/psum-bwd per sub-block input (the three qkv
+        # column-linears' partial input-cotangents sum locally first)
+        x = _ident_fwd_psum_bwd(x, mega)
+
     if cfg.arch == "llama":
-        q = _block_linear(block, lora, "wq", x, lcfg, rng).reshape(B, S, H, hd)
-        k = _block_linear(block, lora, "wk", x, lcfg, rng).reshape(B, S, KVH, hd)
-        v = _block_linear(block, lora, "wv", x, lcfg, rng).reshape(B, S, KVH, hd)
+        # head counts derive from the (possibly head-sharded) weight shapes
+        q = _block_linear(block, lora, "wq", x, lcfg, rng, col)
+        k = _block_linear(block, lora, "wk", x, lcfg, rng, col)
+        v = _block_linear(block, lora, "wv", x, lcfg, rng, col)
+        q = q.reshape(B, S, -1, hd)
+        k = k.reshape(B, S, -1, hd)
+        v = v.reshape(B, S, -1, hd)
     else:
-        qkv = _block_linear(block, lora, "w_qkv", x, lcfg, rng)
+        qkv = _block_linear(block, lora, "w_qkv", x, lcfg, rng, col)
         # HF NeoX packs qkv per-head: [B, S, H, 3, hd]
-        qkv = qkv.reshape(B, S, H, 3, hd)
+        qkv = qkv.reshape(B, S, -1, 3, hd)
         q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
 
     q = apply_rope(q, cos, sin, rotary_dim)
@@ -183,21 +206,43 @@ def _attn(cfg, block, lora, lcfg, x, cos, sin, mask, cache_kv, pos, rng,
         attn_out = attention(q, k, v, mask)
         new_cache = None
 
-    attn_out = attn_out.reshape(B, S, H * hd)
-    out = _block_linear(block, lora, "wo", attn_out, lcfg, rng)
+    attn_out = attn_out.reshape(B, S, -1)  # [B, S, H_local * hd]
+    if mega:
+        from qlora_tpu.models.layers import _psum_fwd_ident_bwd
+
+        out = _block_linear(block, lora, "wo", attn_out, lcfg, rng,
+                            "row_partial")
+        out = _psum_fwd_ident_bwd(out, mega)
+    else:
+        out = _block_linear(block, lora, "wo", attn_out, lcfg, rng)
     return out, new_cache
 
 
 def _mlp(cfg, block, lora, lcfg, x, rng):
+    mega = _megatron_axis()
+    col = "column" if mega else "auto"
+    if mega:
+        from qlora_tpu.models.layers import (
+            _ident_fwd_psum_bwd, _psum_fwd_ident_bwd,
+        )
+
+        x = _ident_fwd_psum_bwd(x, mega)
     if cfg.arch == "llama":
-        g = _block_linear(block, lora, "w_gate", x, lcfg, rng)
-        u = _block_linear(block, lora, "w_up", x, lcfg, rng)
+        g = _block_linear(block, lora, "w_gate", x, lcfg, rng, col)
+        u = _block_linear(block, lora, "w_up", x, lcfg, rng, col)
         h = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)).astype(
             jnp.bfloat16
         )
+        if mega:
+            out = _block_linear(block, lora, "w_down", h, lcfg, rng,
+                                "row_partial")
+            return _psum_fwd_ident_bwd(out, mega)
         return _block_linear(block, lora, "w_down", h, lcfg, rng)
-    h = _block_linear(block, lora, "w_fc", x, lcfg, rng)
+    h = _block_linear(block, lora, "w_fc", x, lcfg, rng, col)
     h = jax.nn.gelu(h.astype(jnp.float32)).astype(jnp.bfloat16)
+    if mega:
+        out = _block_linear(block, lora, "w_out", h, lcfg, rng, "row_partial")
+        return _psum_fwd_ident_bwd(out, mega)
     return _block_linear(block, lora, "w_out", h, lcfg, rng)
 
 
