@@ -26,8 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from qlora_tpu.utils.compile_cache import enable as _cc_enable
+_cc_enable(jax)
 import jax.numpy as jnp
 
 
@@ -140,7 +140,150 @@ def main():
         "vs_baseline": round(mfu, 3),
     })
 
+    # 4+5) PRODUCT metrics (BASELINE.json headline: "NF4 decode tokens/s/chip
+    # and finetune step-time at 7B"): full 7B-class model, one jit'd scan of
+    # R steps — slope isolates device time.  Guarded: a failure here must
+    # not kill the microkernel metrics.
+    try:
+        extras.extend(_product_metrics())
+    except Exception as e:  # noqa: BLE001
+        extras.append({"metric": "product_metrics_error", "value": 0,
+                       "unit": str(e)[:120], "vs_baseline": 0.0})
+
     print(json.dumps({**headline, "extra_metrics": extras}))
+
+
+def _scan_slope(mk, r1, r2, tries=4):
+    ts = {}
+    for R in (r1, r2):
+        f = mk(R)
+        float(f(jnp.int32(1)))   # warmup/compile
+        best = float("inf")
+        for t in range(tries):
+            t0 = time.perf_counter()
+            float(f(jnp.int32(2 + t)))
+            best = min(best, time.perf_counter() - t0)
+        ts[R] = best
+    return max((ts[r2] - ts[r1]) / (r2 - r1), 1e-9)
+
+
+def _product_metrics():
+    """7B-class GQA decode tokens/s (serving int8 path) + finetune step time."""
+    from qlora_tpu.lora import LoraConfig
+    from qlora_tpu.models import forward, init_lora_params, init_params
+    from qlora_tpu.models.config import ModelConfig
+    from qlora_tpu.models.transformer import init_cache
+    from qlora_tpu.train import init_train_state, make_optimizer, make_train_step
+
+    out = []
+    small = bool(os.environ.get("QLORA_BENCH_SMALL"))  # CPU smoke mode
+    cfg = ModelConfig(
+        arch="llama", vocab_size=32000, hidden_size=4096,
+        intermediate_size=14336, num_layers=32, num_heads=32,
+        num_kv_heads=8,   # 7B-class GQA (Mistral-7B shape) — serving flagship
+    ) if not small else ModelConfig(
+        arch="llama", vocab_size=512, hidden_size=256, intermediate_size=512,
+        num_layers=2, num_heads=4, num_kv_heads=2,
+    )
+    lcfg = LoraConfig(r=64 if not small else 4, alpha=16)
+    params = init_params(jax.random.PRNGKey(0), cfg, quantized=True)
+
+    # --- finetune step time FIRST (NF4 tree only; HBM budget: the int8
+    # serving copy + KV pool don't fit alongside NF4 + train state) ---
+    from qlora_tpu.models import init_lora_params
+    from qlora_tpu.train import init_train_state, make_optimizer, make_train_step
+
+    S = 512 if not small else 32
+    lora_t = init_lora_params(jax.random.PRNGKey(1), cfg, lcfg)
+    opt = make_optimizer("paged_adamw_32bit", 2e-4, total_steps=100)
+    state = init_train_state(lora_t, opt)
+    step_fn = make_train_step(cfg, lcfg, opt, accum_steps=1, donate=False)
+    ids = jnp.ones((2, S), jnp.int32)
+    batch = {"input_ids": ids, "attention_mask": jnp.ones_like(ids),
+             "labels": ids}
+
+    def mk_step(R):
+        def f(seed):
+            def body(st, r):
+                st2, m = step_fn(st, params, batch,
+                                 jax.random.fold_in(
+                                     jax.random.PRNGKey(0), r + seed))
+                return st2, m["loss"]
+            st, losses = jax.lax.scan(body, state, jnp.arange(R))
+            return jnp.sum(losses)
+        return jax.jit(f)
+
+    t_step = _scan_slope(mk_step, r1=1, r2=3, tries=3)
+    # speed-of-light: ~6·tokens·P_linear matmul FLOPs (fwd + remat-fwd + dx)
+    p_lin = (cfg.hidden_size * cfg.hidden_size *
+             (2 + 2 * cfg.num_kv_heads / cfg.num_heads) +
+             3 * cfg.hidden_size * cfg.intermediate_size) * cfg.num_layers
+    tokens = ids.size
+    sol = 6 * tokens * p_lin / (MXU_BF16_TFLOPS * 1e12)
+    out.append({
+        "metric": "finetune_step_time_7b_1k_tokens",
+        "value": round(t_step, 3), "unit": "s/step",
+        "vs_baseline": round(sol / t_step, 3),
+    })
+    # drop the train section's device state AND its jit cache — the params
+    # tree is closure-captured into compiled executables and stays in HBM
+    # until the cache is cleared
+    del state, lora_t, step_fn, mk_step
+    jax.clear_caches()
+
+    # --- decode tokens/s at B=32, ctx 512 (int8 serving weights) ---
+    B, CTX, CAP = (32, 512, 768) if not small else (4, 16, 32)
+    from qlora_tpu.generate.serve_int8 import requantize_params_int8
+
+    dec_params = requantize_params_int8(params)
+    # free the NF4 QLinears (embed/norms/lm_head are shared, stay live)
+    del params
+    lora = None
+    cache0 = init_cache(cfg, B, CAP)
+    # pre-fill a CTX-token context cheaply: mark length; contents are zeros
+    cache0 = dict(cache0, length=jnp.full((B,), CTX, jnp.int32))
+    toks0 = jnp.full((B, 1), 7, jnp.int32)
+
+    from qlora_tpu.ops.qmatmul import default_impl
+
+    def mk_decode(R):
+        def f(seed):
+            def body(carry, _):
+                cache, toks = carry
+                # w8a8 impl override routes the per-column int8 QLinears to
+                # the direct int8 MXU kernel (the PagedBatcher decode path)
+                with default_impl("w8a8"):
+                    logits, cache = forward(dec_params, lora, toks, cfg, lcfg,
+                                            cache=cache)
+                nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+                return (cache, nxt[:, None] + seed * 0), nxt
+            (_, _), all_toks = jax.lax.scan(body, (cache0, toks0 + seed),
+                                            None, length=R)
+            return jnp.sum(all_toks)
+        return jax.jit(f)
+
+    t_dec = _scan_slope(mk_decode, r1=8, r2=24)
+    tps = B / t_dec
+    # speed-of-light: weight-limited decode = int8 bytes / HBM peak per step
+    # bytes the decode step actually streams: every weight except the embed
+    # table (row-gathered per token, not streamed)
+    p_bytes = sum(
+        x.size * x.dtype.itemsize
+        for x in jax.tree_util.tree_leaves(
+            {k: v for k, v in dec_params.items() if k != "embed"})
+        if hasattr(x, "dtype")
+    )
+    # ... plus the KV cache: the contiguous decode path reads the full
+    # static CAP buffer each step (masked), 2 planes × KVH × hd bf16
+    kv_bytes = (B * CAP * cfg.num_layers * 2 * cfg.num_kv_heads *
+                cfg.head_dim * 2)
+    sol_tps = B / ((p_bytes + kv_bytes) / (HBM_PEAK_GBPS * 1e9))
+    out.append({
+        "metric": f"decode_tokens_per_s_7b_gqa_b{B}",
+        "value": round(tps, 1), "unit": "tokens/s/chip",
+        "vs_baseline": round(tps / sol_tps, 3),
+    })
+    return out
 
 
 if __name__ == "__main__":

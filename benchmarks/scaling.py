@@ -29,8 +29,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from qlora_tpu.utils.compile_cache import enable as _cc_enable
+_cc_enable(jax)
 
 if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
     # the axon TPU plugin's sitecustomize overrides the env var at import

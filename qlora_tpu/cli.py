@@ -186,11 +186,18 @@ def build_model_and_tokenizer(args: Args):
         else:
             from qlora_tpu.utils.hf_import import load_hf_model
 
+            # mesh-divisible padding: intermediate + vocab round up to
+            # 128 lanes × model shards (a mathematical no-op — forward
+            # slices logits back; see hf_import docstrings)
+            shards = max(args.mesh_fsdp * args.mesh_tp, 1)
+            pad_to = 128 * shards if shards > 1 else None
             params, cfg = load_hf_model(
                 args.model_name_or_path,
                 quantize_base=quantize_base,
                 quant_type=quant_type,
                 double_quant=args.double_quant,
+                pad_intermediate_to=pad_to,
+                pad_vocab_to=pad_to,
             )
     else:
         cfg = get_config(args.model_name_or_path)

@@ -415,6 +415,10 @@ def forward(
             x, params["final_norm"]["scale"], params["final_norm"]["bias"], cfg.norm_eps
         )
     logits = apply_linear(params["lm_head"], x).astype(jnp.float32)
+    # mesh-divisible vocab: the importer may pad lm_head columns (and embed
+    # rows) so V divides tp×fsdp×128; slice back so padded ids never receive
+    # probability mass (exact — pad columns are zero-init but softmax'd)
+    logits = logits[..., : cfg.vocab_size]
     if return_hidden:
         return logits, new_cache, x
     return logits, new_cache

@@ -146,6 +146,7 @@ def load_hf_model(
     quant_type: str = "nf4",
     double_quant: bool = True,
     pad_intermediate_to: Optional[int] = None,
+    pad_vocab_to: Optional[int] = None,
 ) -> tuple[dict, ModelConfig]:
     """Import an HF checkpoint directory into our param pytree.
 
@@ -153,6 +154,13 @@ def load_hf_model(
     this (zero-padding weights — a mathematical no-op for SwiGLU/GELU MLPs)
     so shards satisfy N/(fsdp·tp) % 128 on the mesh (e.g. LLaMA's 11008 →
     11264 for 8-way model sharding).
+
+    pad_vocab_to: round the vocab up to a multiple of this, zero-padding
+    lm_head columns and embed rows so the head shards evenly on the mesh
+    (e.g. LLaMA's 32000 → 32768 for 8-way tp × 128 lanes).  Exact:
+    ``forward`` slices logits back to ``cfg.vocab_size``, so the pad ids
+    never receive probability mass; pad embed rows are never looked up.
+    cfg.vocab_size is left UNCHANGED — the padding is a storage detail.
     """
     import dataclasses as _dc
 
@@ -232,6 +240,13 @@ def load_hf_model(
             embed.T if "embed_out.weight" not in get.names
             else _to_f32(get("embed_out.weight")).T
         )
+
+    if pad_vocab_to:
+        V = head_w.shape[1]
+        pad_v = -(-V // pad_vocab_to) * pad_vocab_to - V
+        if pad_v:
+            head_w = jnp.pad(head_w, ((0, 0), (0, pad_v)))
+            embed = jnp.pad(embed, ((0, pad_v), (0, 0)))
 
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
     params = {

@@ -21,5 +21,5 @@ import jax  # noqa: E402  (import after env vars are set)
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # Persistent compile cache: keeps repeat test runs fast.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from qlora_tpu.utils.compile_cache import enable as _cc_enable
+_cc_enable(jax)

@@ -99,6 +99,22 @@ def test_pad_intermediate_is_noop(tiny_llama):
     assert np.abs(np.asarray(ours, np.float32) - ref).max() < 0.15
 
 
+def test_pad_vocab_is_noop(tiny_llama):
+    path, hf_model = tiny_llama
+    # 256 → 384 with pad_vocab_to=128; cfg.vocab_size unchanged, logits
+    # sliced back — bit-identical to the unpadded import
+    params, cfg = load_hf_model(path, quantize_base=False, pad_vocab_to=384)
+    assert cfg.vocab_size == 256
+    assert params["lm_head"].w.shape[-1] == 384
+    assert params["embed"].shape[0] == 384
+    base, _ = load_hf_model(path, quantize_base=False)
+    ids = jnp.asarray([[1, 5, 9, 2]], jnp.int32)
+    lp, _ = forward(params, None, ids, cfg)
+    lb, _ = forward(base, None, ids, cfg)
+    assert lp.shape[-1] == cfg.vocab_size
+    np.testing.assert_array_equal(np.asarray(lp), np.asarray(lb))
+
+
 @pytest.fixture(scope="module")
 def tiny_mistral(tmp_path_factory):
     d = tmp_path_factory.mktemp("hf_mistral")
