@@ -127,10 +127,12 @@ def main():
     base3 = jax.random.normal(kw, (M3, K), dtype=jnp.float32) * 1e-3
 
     def mk_train(R):
+        # mirror the production large-M tiles (TKp=2048/TN=256 — whole K2
+        # per grid step; measured 0.93 MFU vs 0.81 at TKp=512/TN=512)
         return jax.jit(lambda c: jnp.sum(qmm_repeat(
             (base3 * c).astype(jnp.bfloat16), qt.packed, am,
             qt.shape, qt.block_size, qt.quant_type, reps=R,
-            tkp_max=512).astype(jnp.float32)))
+            tkp_max=2048, tn_max=256).astype(jnp.float32)))
 
     t3 = _slope(mk_train, r1=80, r2=160, tries=6)
     mfu = 2 * M3 * K * N / t3 / (MXU_BF16_TFLOPS * 1e12)

@@ -30,6 +30,18 @@ def test_pallas_matches_xla(shape, double_quant):
     )
 
 
+def test_pallas_large_m_tile_branch_matches_xla():
+    # M>=512 with K2 % 2048 == 0 takes the TKp=2048/TN=256 training tiles
+    M, K, N = 512, 4096, 256
+    x, qt = _mk(7, M, K, N)
+    y_ref = qmatmul(x, qt, "xla")
+    y_pl = qmatmul(x, qt, "pallas")
+    np.testing.assert_allclose(
+        np.asarray(y_pl, np.float32), np.asarray(y_ref, np.float32),
+        atol=0.6, rtol=0.05,   # wider abs tol: K=4096 accumulation
+    )
+
+
 def test_forward_matches_exact_dequant_fp32():
     # fp32 accumulate in the kernel: compare against fp32 x @ dequant(W)
     M, K, N = 8, 256, 128
