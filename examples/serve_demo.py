@@ -48,6 +48,9 @@ def main():
                     help="int8: offline per-column int8 serving weights + "
                          "direct int8 MXU decode (~0.8x HBM SOL weight "
                          "reads, ~1.2%% rel err); default exact bf16")
+    ap.add_argument("--prefill_impl", default=None, choices=[None, "w8a8"],
+                    help="w8a8: in-kernel int8 prefill (~2x MXU rate at "
+                         "bucket-size M, ~1.2%% rel err); default exact bf16")
     ap.add_argument("--n_pages", type=int, default=2048)
     ap.add_argument("--page_size", type=int, default=16)
     ap.add_argument("--max_new_tokens", type=int, default=128)
@@ -67,7 +70,7 @@ def main():
     batcher = PagedBatcher(
         params, lora, cfg, lcfg,
         num_slots=args.num_slots, n_pages=args.n_pages, decode_impl=args.decode_impl,
-        page_size=args.page_size,
+        prefill_impl=args.prefill_impl, page_size=args.page_size,
         eos_id=tokenizer.eos_token_id,
         sparams=SamplingParams(do_sample=True, temperature=args.temperature,
                                top_p=args.top_p),

@@ -14,7 +14,10 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import gc
+
 import jax  # noqa: E402  (import after env vars are set)
+import pytest
 
 # The axon TPU plugin's sitecustomize sets jax_platforms="axon,cpu"
 # programmatically, overriding the env var — force CPU back for tests.
@@ -23,3 +26,16 @@ jax.config.update("jax_enable_x64", False)
 # Persistent compile cache: keeps repeat test runs fast.
 from qlora_tpu.utils.compile_cache import enable as _cc_enable
 _cc_enable(jax)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_compiled_programs_per_module():
+    """Each XLA:CPU JIT executable pins several mmap'd regions; a full-suite
+    run accumulates >65k maps and SEGFAULTS at the kernel's
+    vm.max_map_count ceiling (measured: maps grow 4.7k→65.1k, crash at the
+    65530 limit inside the next compile's cache read).  Dropping compiled
+    programs between modules bounds the map count; the persistent compile
+    cache makes any cross-module recompile a fast disk hit."""
+    yield
+    gc.collect()
+    jax.clear_caches()

@@ -112,3 +112,34 @@ def test_paged_int8_decode_logits_close_to_exact():
     e = np.asarray(exact[:, 0], np.float32)
     a = np.asarray(approx[:, 0], np.float32)
     assert np.abs(a - e).max() / np.abs(e).max() < 0.1
+
+
+def test_paged_w8a8_prefill_opt_in_close_to_exact():
+    """prefill_impl='w8a8' routes PREFILL matmuls through the in-kernel int8
+    path (~2x MXU rate at bucket-size M on TPU); last-position logits stay
+    within the int8 noise budget of the exact bf16 prefill."""
+    from qlora_tpu.generate.paged import PagedBatcher
+    from qlora_tpu.models import get_config, init_params
+
+    cfg = get_config("debug")
+    params = init_params(jax.random.PRNGKey(0), cfg, quantized=True)
+    prompt = [3, 17, 5, 9, 2, 11]
+
+    outs = {}
+    for impl in (None, "w8a8"):
+        pb = PagedBatcher(params, None, cfg, num_slots=1, n_pages=64,
+                          page_size=8, max_pages_per_seq=8,
+                          prefill_buckets=(16,), eos_id=-1,
+                          prefill_impl=impl)
+        last, _, _ = pb._prefill_kv(
+            jnp.asarray([prompt + [0] * 10], jnp.int32), jnp.int32(6), 16)
+        outs[impl] = np.asarray(last, np.float32)
+    e, a = outs[None], outs["w8a8"]
+    assert np.abs(a - e).max() / np.abs(e).max() < 0.1
+    # and the full serving loop runs with both overrides active
+    pb = PagedBatcher(params, None, cfg, num_slots=1, n_pages=64, page_size=8,
+                      max_pages_per_seq=8, prefill_buckets=(16,), eos_id=-1,
+                      decode_impl="int8", prefill_impl="w8a8")
+    r = pb.submit(prompt, max_new_tokens=4)
+    pb.run_to_completion()
+    assert len(r.generated) == 4
