@@ -142,7 +142,16 @@ def main():
         "vs_baseline": round(mfu, 3),
     })
 
-    # 4+5) PRODUCT metrics (BASELINE.json headline: "NF4 decode tokens/s/chip
+    # 4) flash attention MFU at the 7B training shape (S=2048, causal).
+    # Scan of R serially-dependent calls in one dispatch; slope isolates
+    # device time (same rationale as _scan_slope).
+    try:
+        extras.extend(_flash_metrics())
+    except Exception as e:  # noqa: BLE001
+        extras.append({"metric": "flash_metrics_error", "value": 0,
+                       "unit": str(e)[:120], "vs_baseline": 0.0})
+
+    # 5+6) PRODUCT metrics (BASELINE.json headline: "NF4 decode tokens/s/chip
     # and finetune step-time at 7B"): full 7B-class model, one jit'd scan of
     # R steps — slope isolates device time.  Guarded: a failure here must
     # not kill the microkernel metrics.
@@ -167,6 +176,82 @@ def _scan_slope(mk, r1, r2, tries=4):
             best = min(best, time.perf_counter() - t0)
         ts[R] = best
     return max((ts[r2] - ts[r1]) / (r2 - r1), 1e-9)
+
+
+def _flash_metrics():
+    """Flash-attention fwd and train (fwd+bwd) MFU, 7B shape B2·H32·S2048·D128.
+
+    MFU denominators count only the EXECUTED causal tiles (lower-triangle
+    blocks of the bq×bk grid), so 1.0 = MXU peak on the work actually run —
+    comparable to the NF4 train-regime metric.
+    """
+    import math
+
+    from qlora_tpu.ops.flash_attention import flash_attention
+
+    Bq, Hq, S, D = 2, 32, 2048, 128
+    bq = bk = 512
+    kq = jax.random.PRNGKey(3)
+    q0 = jax.random.normal(kq, (Bq, Hq, S, D), jnp.bfloat16)
+    k0 = jax.random.normal(jax.random.fold_in(kq, 1), (Bq, Hq, S, D),
+                           jnp.bfloat16)
+    v0 = jax.random.normal(jax.random.fold_in(kq, 2), (Bq, Hq, S, D),
+                           jnp.bfloat16)
+    lens = jnp.full((Bq,), S, jnp.int32)
+    scale = 1.0 / math.sqrt(D)
+
+    g = S // bq
+    run_frac = (g * (g + 1) / 2) / (g * g)     # executed causal tiles
+    # matmuls of 2·S²·D flops each: fwd kernel 2; bwd dq 3 + dkv 4 (di
+    # precompute is elementwise, ignored)
+    fwd_flops = 2 * (2 * S * S * D) * Bq * Hq * run_frac
+    bwd_flops = 7 * (2 * S * S * D) * Bq * Hq * run_frac
+
+    def mk_fwd(R):
+        def f(c):
+            def body(s, _):
+                o = flash_attention(q0 * s.astype(q0.dtype), k0, v0, lens,
+                                    sm_scale=scale, causal=True)
+                return s + jnp.sum(o[0, 0, 0, :8].astype(jnp.float32)) * 1e-30, ()
+            s, _ = jax.lax.scan(body, c, None, length=R)
+            return s
+        return jax.jit(f)
+
+    t_f = _slope(mk_fwd, r1=48, r2=144, tries=5)  # ~1 ms/call: r1 well > floor
+    out = [{
+        "metric": "flash_attention_fwd_mfu_s2048",
+        "value": round(fwd_flops / t_f / (MXU_BF16_TFLOPS * 1e12), 3),
+        "unit": "fraction_of_bf16_peak",
+        "vs_baseline": round(fwd_flops / t_f / (MXU_BF16_TFLOPS * 1e12), 3),
+    }]
+
+    def loss(qq, kk, vv):
+        return jnp.sum(flash_attention(
+            qq, kk, vv, lens, sm_scale=scale, causal=True
+        ).astype(jnp.float32) * 1e-3)
+
+    def mk_train(R):
+        def f(c):
+            def body(s, _):
+                # grads w.r.t. all three operands — otherwise XLA DCEs the
+                # whole dkv kernel and the MFU denominator overcounts
+                dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(
+                    q0 * s.astype(q0.dtype), k0, v0)
+                probe = (dq[0, 0, 0, :8] + dk[0, 0, 0, :8] + dv[0, 0, 0, :8])
+                return s + jnp.sum(probe.astype(jnp.float32)) * 1e-30, ()
+            s, _ = jax.lax.scan(body, c, None, length=R)
+            return s
+        return jax.jit(f)
+
+    t_t = _slope(mk_train, r1=16, r2=48, tries=5)
+    tot = fwd_flops + bwd_flops
+    out.append({
+        "metric": "flash_attention_train_mfu_s2048",
+        "value": round(tot / t_t / (MXU_BF16_TFLOPS * 1e12), 3),
+        "unit": "fraction_of_bf16_peak",
+        "vs_baseline": round(tot / t_t / (MXU_BF16_TFLOPS * 1e12), 3),
+    })
+    return out
 
 
 def _product_metrics():
