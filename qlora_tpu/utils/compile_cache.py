@@ -3,25 +3,52 @@
 XLA:CPU AOT artifacts encode the compile machine's CPU feature set; loading
 them on a host with different features can SIGILL/segfault (observed: the
 round driver migrating boxes mid-build crashed the test suite at ~40%).
-Key the cache directory by a hash of the host's CPU flags so a machine
-change silently starts a fresh cache instead of crashing.
+A flags-only hash proved insufficient — fleet hosts can share the cpuinfo
+``flags`` line yet still produce artifacts that SIGABRT at execute time on
+each other (observed round 2: a cached shard_map executable for an
+UNCHANGED program aborted inside the first run after a box migration).
+Key by the full CPU identity (model name, stepping, microcode, flags)
+plus the jaxlib version, so any of those changing silently starts a fresh
+cache instead of crashing.
+
+Set ``QLORA_COMPILE_CACHE=0`` to disable the persistent cache entirely
+(diagnostic kill-switch: a crash that disappears with the cache off is a
+stale/foreign artifact — wipe ``/tmp/jax_cache-*``).
 """
 
 import hashlib
 import os
 
 
-def cache_dir(base: str = "/tmp/jax_cache") -> str:
+def _cpu_identity() -> str:
+    ident = []
     try:
         with open("/proc/cpuinfo") as f:
-            flags = next((l for l in f if l.startswith("flags")), "")
+            for line in f:
+                key = line.split(":", 1)[0].strip()
+                if key in ("model name", "stepping", "microcode", "flags"):
+                    ident.append(line.strip())
+                if len(ident) == 4:
+                    break
     except OSError:
-        flags = ""
-    h = hashlib.md5(flags.encode()).hexdigest()[:10]
+        pass
+    return "\n".join(ident)
+
+
+def cache_dir(base: str = "/tmp/jax_cache") -> str:
+    try:
+        import jaxlib
+
+        ver = getattr(jaxlib, "__version__", "?")
+    except Exception:  # pragma: no cover - jaxlib always present
+        ver = "?"
+    h = hashlib.md5(f"{_cpu_identity()}|jaxlib={ver}".encode()).hexdigest()[:10]
     return f"{base}-{h}"
 
 
 def enable(jax_module, min_compile_secs: float = 1.0) -> None:
+    if os.environ.get("QLORA_COMPILE_CACHE", "1") == "0":
+        return
     jax_module.config.update("jax_compilation_cache_dir", cache_dir())
     jax_module.config.update(
         "jax_persistent_cache_min_compile_time_secs", min_compile_secs

@@ -39,3 +39,24 @@ def _drop_compiled_programs_per_module():
     yield
     gc.collect()
     jax.clear_caches()
+
+
+def _n_maps() -> int:
+    try:
+        with open("/proc/self/maps", "rb") as f:
+            return sum(1 for _ in f)
+    except OSError:
+        return 0
+
+
+@pytest.fixture(autouse=True)
+def _bound_map_count_per_test():
+    """Module-boundary clearing no longer suffices: the big shard_map
+    modules (sharded/megatron/sp/e2e) individually compile enough XLA:CPU
+    executables to cross the vm.max_map_count ceiling MID-module.  Clear
+    eagerly whenever the map count nears the kernel limit (65530 default);
+    the persistent compile cache keeps the re-JITs cheap."""
+    yield
+    if _n_maps() > 45_000:
+        gc.collect()
+        jax.clear_caches()
