@@ -117,6 +117,13 @@ class Args:
     mesh_dp: int = 1
     mesh_fsdp: int = 1
     mesh_tp: int = 1
+    # sequence/context parallel (ring attention over ICI); composes with
+    # mesh_dp only — long-context training, activation memory scales S/sp
+    mesh_sp: int = 1
+    # page optimizer state to pinned host memory between steps (the
+    # reference's paged_adamw semantics made explicit: HBM holds no
+    # steady-state optimizer state; full-finetune memory lever)
+    optim_host_offload: bool = False
     # "gather" = column-parallel every linear, all-gather outputs (works for
     # any mesh incl. fsdp); "megatron" = head-parallel attention +
     # row-parallel wo/w_down — 2 psums per block, requires fsdp=1
@@ -324,10 +331,18 @@ def train(args: Args) -> dict:
         logger.warning("fp16 unsupported on TPU; using bf16 compute "
                        "(the reference's own XPU path does the same)")
     opt_name = "adam8bit" if args.adam8bit else args.optim
+    if args.optim_host_offload and (
+        args.mesh_dp * args.mesh_fsdp * args.mesh_tp * args.mesh_sp > 1
+    ):
+        raise ValueError(
+            "optim_host_offload is single-device (reference scope: one "
+            "node); sharded meshes keep optimizer state in HBM via ZeRO-1 "
+            "(--mesh_fsdp)")
     optimizer = make_optimizer(
         opt_name, args.learning_rate, total_steps=args.max_steps,
         warmup_ratio=args.warmup_ratio, weight_decay=args.weight_decay,
         max_grad_norm=args.max_grad_norm, b2=args.adam_beta2,
+        offload_state=args.optim_host_offload,
     )
     state = init_train_state(trainable, optimizer)
     start_step = 0
@@ -367,7 +382,7 @@ def train(args: Args) -> dict:
             seed=data_seed,
         )
         ckpt_opt_state = lambda st: st.opt_state
-        if args.mesh_dp * args.mesh_fsdp * args.mesh_tp > 1:
+        if args.mesh_dp * args.mesh_fsdp * args.mesh_tp * args.mesh_sp > 1:
             # manual dp×fsdp×tp shard_map step: Pallas kernels run per-shard,
             # frozen weights shard over fsdp×tp, optimizer state over fsdp
             # (ZeRO-1), gradient accumulation via in-step scan
@@ -383,17 +398,54 @@ def train(args: Args) -> dict:
                 zero1_state_specs,
             )
 
-            ndev = args.mesh_dp * args.mesh_fsdp * args.mesh_tp
+            ndev = args.mesh_dp * args.mesh_fsdp * args.mesh_tp * args.mesh_sp
             if len(jax.devices()) < ndev:
                 raise ValueError(
-                    f"mesh {args.mesh_dp}x{args.mesh_fsdp}x{args.mesh_tp} "
-                    f"needs {ndev} devices, have {len(jax.devices())}"
+                    f"mesh {args.mesh_dp}x{args.mesh_fsdp}x{args.mesh_tp}"
+                    f"x{args.mesh_sp} needs {ndev} devices, have "
+                    f"{len(jax.devices())}"
                 )
             if mode != "lora":
                 raise NotImplementedError("mesh training supports LoRA mode")
             if args.tp_style not in ("gather", "megatron"):
                 raise ValueError(f"unknown tp_style {args.tp_style!r}")
-            if args.tp_style == "megatron":
+            _sp_mode = args.mesh_sp > 1
+            _megatron = False
+            if _sp_mode:
+                # sequence-parallel ring-attention training (dp×sp): the
+                # sequence dim shards over sp, KV shards rotate via ppermute
+                if args.mesh_fsdp > 1 or args.mesh_tp > 1:
+                    raise ValueError(
+                        "mesh_sp composes with mesh_dp only (weights stay "
+                        "replicated on the ring; use fsdp/tp without sp)")
+                if args.gradient_accumulation_steps > 1:
+                    raise NotImplementedError(
+                        "mesh_sp does not support gradient accumulation; "
+                        "raise mesh_dp or the batch size instead")
+                from qlora_tpu.parallel.sp_step import make_sp_train_step
+                from qlora_tpu.train.loss import IGNORE_INDEX
+
+                mesh_s = Mesh(
+                    _np.asarray(jax.devices()[:ndev]).reshape(
+                        args.mesh_dp, args.mesh_sp),
+                    ("dp", "sp"),
+                )
+                sp_fn = make_sp_train_step(
+                    cfg, lcfg, optimizer, mesh_s, params, state, donate=False)
+                _spn = args.mesh_sp
+
+                def step_fn(st, fr, b, r):
+                    ids, labels = b["input_ids"], b["labels"]
+                    pad = (-ids.shape[1]) % _spn
+                    if pad:
+                        # ring shards need S % sp == 0; right pads sit after
+                        # every real token (causal ⇒ exact) and are loss-masked
+                        ids = jnp.pad(ids, ((0, 0), (0, pad)))
+                        labels = jnp.pad(labels, ((0, 0), (0, pad)),
+                                         constant_values=IGNORE_INDEX)
+                    return sp_fn(st, fr,
+                                 {"input_ids": ids, "labels": labels}, r)
+            elif args.tp_style == "megatron":
                 # head-parallel attention + row-parallel projections: 2 psums
                 # per block, tp-sharded LoRA/optimizer state
                 if args.mesh_fsdp > 1:
@@ -439,15 +491,15 @@ def train(args: Args) -> dict:
                 step_fn = lambda st, fr, b, r: sh_fn(st, fr, b, r)
                 # skip the gather-style setup below
                 _megatron = True
-            else:
-                _megatron = False
-            mesh = Mesh(
-                _np.asarray(jax.devices()[:ndev]).reshape(
-                    args.mesh_dp, args.mesh_fsdp, args.mesh_tp
-                ),
-                ("dp", "fsdp", "tp"),
-            )
-            if not _megatron and args.mesh_fsdp > 1:
+            _gather = not (_sp_mode or _megatron)
+            if _gather:
+                mesh = Mesh(
+                    _np.asarray(jax.devices()[:ndev]).reshape(
+                        args.mesh_dp, args.mesh_fsdp, args.mesh_tp
+                    ),
+                    ("dp", "fsdp", "tp"),
+                )
+            if _gather and args.mesh_fsdp > 1:
                 # ZeRO-1: convert the (fresh or checkpoint-restored) full
                 # opt state to the flat fsdp-sharded layout
                 z = opt_state_full_to_zero1(
@@ -462,7 +514,7 @@ def train(args: Args) -> dict:
                 ckpt_opt_state = lambda st: opt_state_zero1_to_full(
                     st.opt_state, st.trainable, optimizer
                 )
-            if not _megatron:
+            if _gather:
                 params = jax.tree_util.tree_map(
                     jax.device_put, params,
                     sharded_param_shardings(params, mesh)

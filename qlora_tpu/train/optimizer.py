@@ -1,10 +1,12 @@
 """Optimizers: AdamW with the reference's hyperparameters + 8-bit state.
 
 Reference defaults (SURVEY.md N5/N6):
-* ``paged_adamw_32bit`` (qlora.py:198) — CUDA unified-memory paging has no
-  TPU analog and none is needed: LoRA-only optimizer state is tiny, and for
-  full finetuning the state is sharded over the mesh (qlora_tpu.parallel).
-  "Paged parity" here = never OOM on spikes, achieved structurally.
+* ``paged_adamw_32bit`` (qlora.py:198) — CUDA unified-memory paging made
+  explicit on TPU: :func:`host_offload` keeps optimizer state in
+  ``pinned_host`` memory between steps (``--optim_host_offload``), so HBM
+  holds no steady-state optimizer state — the full-finetune memory lever.
+  LoRA-only state is tiny (offload rarely needed), and sharded meshes use
+  ZeRO-1 instead (qlora_tpu.parallel.sharded_step).
 * ``--adam8bit`` (qlora.py:161-164) — blockwise 8-bit optimizer state:
   implemented below as an optax transform storing m and sqrt(v) as int8 with
   per-block (256) fp32 absmax scales (sqrt(v) halves the relative error of
@@ -156,6 +158,56 @@ def adam8bit(
     return optax.GradientTransformation(init, update)
 
 
+# ---------------------------------------------------------------------------
+# host-offloaded ("paged") optimizer state
+# ---------------------------------------------------------------------------
+
+
+def host_offload(
+    inner: optax.GradientTransformation,
+    memory_kind: str = "pinned_host",
+    device=None,
+) -> optax.GradientTransformation:
+    """Optimizer-state host offload — the TPU-native "paged" optimizer.
+
+    The reference's ``paged_adamw_*`` (bnb, qlora.py:198) backs optimizer
+    state with CUDA unified memory so it spills to host RAM under pressure.
+    XLA has no transparent paging; the TPU equivalent is explicit: state
+    lives in ``pinned_host`` memory between steps and streams into HBM only
+    inside the update.  Steady-state HBM holds NO optimizer state; the
+    step's high-water mark is params + grads + one transient state copy.
+    Use for full finetunes whose Adam moments don't fit alongside the model
+    (the reason the reference made paged optimizers its default).
+
+    Scope: single-process, unsharded state — the same scope as the
+    reference feature (one node).  Sharded meshes keep state in HBM via
+    ZeRO-1 instead (parallel/sharded_step.py).
+    """
+
+    def _shardings():
+        from jax.sharding import SingleDeviceSharding
+
+        d = device if device is not None else jax.devices()[0]
+        return (
+            SingleDeviceSharding(d, memory_kind=memory_kind),
+            SingleDeviceSharding(d, memory_kind="device"),
+        )
+
+    def init(params):
+        host, _ = _shardings()
+        st = inner.init(params)
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, host), st)
+
+    def update(grads, state, params=None):
+        host, dev = _shardings()
+        st_dev = jax.tree_util.tree_map(lambda x: jax.device_put(x, dev), state)
+        ups, st2 = inner.update(grads, st_dev, params)
+        st2 = jax.tree_util.tree_map(lambda x: jax.device_put(x, host), st2)
+        return ups, st2
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(
     name: str,
     lr,
@@ -165,11 +217,17 @@ def make_optimizer(
     weight_decay: float = 0.0,
     max_grad_norm: float = 0.3,
     b2: float = 0.999,
+    offload_state: bool = False,
 ):
-    """Reference flag parity: --optim paged_adamw_32bit | --adam8bit."""
+    """Reference flag parity: --optim paged_adamw_32bit | --adam8bit.
+
+    ``offload_state=True`` pages the optimizer state to host memory
+    between steps (see :func:`host_offload`)."""
     sched = warmup_constant_schedule(lr, total_steps, warmup_ratio)
     if name in ("paged_adamw_32bit", "adamw", "adamw_torch"):
-        return adamw(sched, weight_decay=weight_decay, max_grad_norm=max_grad_norm, b2=b2)
-    if name in ("adam8bit", "paged_adamw_8bit"):
-        return adam8bit(sched, weight_decay=weight_decay, max_grad_norm=max_grad_norm, b2=b2)
-    raise ValueError(f"unknown optimizer {name!r}")
+        opt = adamw(sched, weight_decay=weight_decay, max_grad_norm=max_grad_norm, b2=b2)
+    elif name in ("adam8bit", "paged_adamw_8bit"):
+        opt = adam8bit(sched, weight_decay=weight_decay, max_grad_norm=max_grad_norm, b2=b2)
+    else:
+        raise ValueError(f"unknown optimizer {name!r}")
+    return host_offload(opt) if offload_state else opt

@@ -184,6 +184,27 @@ def test_cli_mesh_training_megatron(tmp_path):
     assert len(losses) == 3 and all(np.isfinite(losses))
 
 
+def test_cli_mesh_training_sp(tmp_path):
+    # dp=2, sp=2 (ring attention over the sequence) through the CLI driver
+    import jax as _jax
+    if len(_jax.devices()) < 4:
+        import pytest as _pytest
+        _pytest.skip("needs 4 virtual devices")
+    data = _write_alpaca(tmp_path, n=16)
+    out = str(tmp_path / "mesh_sp_out")
+    args = Args(
+        model_name_or_path="debug", init_random=True, fake_tokenizer=True,
+        dataset=data, output_dir=out, max_steps=3,
+        per_device_train_batch_size=4, gradient_accumulation_steps=1,
+        lora_r=4, source_max_len=32, target_max_len=16, logging_steps=1,
+        save_steps=100, group_by_length=False,
+        mesh_dp=2, mesh_sp=2,
+    )
+    m = train(args)
+    losses = [h["loss"] for h in m["train_metrics"]]
+    assert len(losses) == 3 and all(np.isfinite(losses))
+
+
 def test_resume_fast_forwards_data():
     from qlora_tpu.cli import _iter_batches
     from qlora_tpu.utils.testing import FakeTokenizer
