@@ -1,0 +1,117 @@
+"""Tensor-parallel serving path (parallel/tp_decode.py): megatron-sharded
+prefill + decode over a ("tp",) mesh matches the single-device contiguous
+cache path token-for-token."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qlora_tpu.lora import LoraConfig
+from qlora_tpu.models import forward, init_lora_params, init_params
+from qlora_tpu.models.config import ModelConfig
+from qlora_tpu.models.transformer import init_cache
+
+pytestmark = pytest.mark.slow  # heavy compiles: run via -m slow in CI
+
+# hidden/intermediate sized so every row-parallel K-chunk stays packable:
+# K/tp must divide 2*block_size (=128) for shard-local split-half packing
+CFG = ModelConfig(arch="llama", vocab_size=512, hidden_size=512,
+                  intermediate_size=512, num_layers=2, num_heads=4,
+                  num_kv_heads=4)
+GQA = ModelConfig(arch="llama", vocab_size=512, hidden_size=512,
+                  intermediate_size=512, num_layers=2, num_heads=4,
+                  num_kv_heads=2)
+LCFG = LoraConfig(r=4, alpha=8)
+
+
+def _forced_trajectory(step_fn, params, lora, ids, cache, forced):
+    """Prefill then decode with TEACHER-FORCED next tokens (greedy argmax
+    tie-breaks diverge on bf16 psum noise); returns per-step logits."""
+    B, S = ids.shape
+    logits, cache = step_fn(params, lora, ids, cache)
+    outs = [logits[:, S - 1]]
+    for t in range(forced.shape[1]):
+        logits, cache = step_fn(params, lora, forced[:, t:t + 1], cache)
+        outs.append(logits[:, 0])
+    return jnp.stack(outs, axis=1)
+
+
+@pytest.mark.parametrize("tp,cfg", [(2, CFG), (4, CFG), (2, GQA)])
+def test_tp_decode_matches_single_device(tp, cfg):
+    if len(jax.devices()) < tp:
+        pytest.skip(f"needs {tp} virtual devices")
+    from qlora_tpu.parallel.tp_decode import (
+        make_tp_forward_fn, make_tp_mesh, shard_decode_params, shard_tp_cache,
+    )
+
+    params = init_params(jax.random.PRNGKey(0), cfg, quantized=True)
+    lora = init_lora_params(jax.random.PRNGKey(1), cfg, LCFG)
+    B, S, CAP, NSTEP = 2, 8, 32, 4
+    ids = jax.random.randint(jax.random.PRNGKey(2), (B, S), 0, cfg.vocab_size)
+    forced = jax.random.randint(jax.random.PRNGKey(3), (B, NSTEP), 0,
+                                cfg.vocab_size)
+
+    def ref_step(p, l, i, c):
+        return forward(p, l, i, cfg, LCFG, cache=c)
+
+    ref_logits = _forced_trajectory(
+        ref_step, params, lora, ids, init_cache(cfg, B, CAP), forced)
+
+    mesh = make_tp_mesh(tp)
+    p_tp = shard_decode_params(params, mesh)
+    cache = shard_tp_cache(init_cache(cfg, B, CAP), mesh)
+    tp_fn = make_tp_forward_fn(cfg, LCFG, mesh, p_tp, lora)
+    tp_logits = _forced_trajectory(tp_fn, p_tp, lora, ids, cache, forced)
+
+    # every decode step's logits agree to bf16 psum tolerance (the tp path
+    # re-packs row-parallel weights shard-locally, so tiny requant noise +
+    # psum reduction order bound the diff)
+    np.testing.assert_allclose(
+        np.asarray(tp_logits), np.asarray(ref_logits), rtol=0, atol=0.2)
+    # and the argmax agrees at every position for nearly all tokens
+    same = (np.argmax(np.asarray(tp_logits), -1)
+            == np.argmax(np.asarray(ref_logits), -1))
+    assert same.mean() >= 0.9, same
+
+
+def test_tp_cache_is_head_sharded():
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    from qlora_tpu.parallel.tp_decode import (
+        make_tp_mesh, shard_decode_params, shard_tp_cache,
+    )
+
+    tp = 2
+    mesh = make_tp_mesh(tp)
+    cache = shard_tp_cache(init_cache(CFG, 2, 16), mesh)
+    # per-device KV shard holds KVH/tp heads
+    shard = cache["k"].addressable_shards[0].data
+    assert shard.shape[3] == CFG.num_kv_heads // tp
+    # packed weight shards shrink 1/tp on the column-parallel linears
+    params = init_params(jax.random.PRNGKey(0), CFG, quantized=True)
+    p_tp = shard_decode_params(params, mesh)
+    wq = p_tp["blocks"]["wq"].qt.packed
+    assert wq.addressable_shards[0].data.shape[-1] == wq.shape[-1] // tp
+
+
+def test_tp_decode_no_lora():
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    from qlora_tpu.parallel.tp_decode import (
+        make_tp_forward_fn, make_tp_mesh, shard_decode_params, shard_tp_cache,
+    )
+
+    params = init_params(jax.random.PRNGKey(0), CFG, quantized=True)
+    B, S = 2, 8
+    ids = jax.random.randint(jax.random.PRNGKey(2), (B, S), 0, CFG.vocab_size)
+
+    ref_logits, _ = forward(params, None, ids, CFG, LCFG,
+                            cache=init_cache(CFG, B, 32))
+    mesh = make_tp_mesh(2)
+    p_tp = shard_decode_params(params, mesh)
+    cache = shard_tp_cache(init_cache(CFG, B, 32), mesh)
+    fn = make_tp_forward_fn(CFG, LCFG, mesh, p_tp, None)
+    tp_logits, _ = fn(p_tp, None, ids, cache)
+    np.testing.assert_allclose(np.asarray(tp_logits), np.asarray(ref_logits),
+                               rtol=0, atol=0.15)
