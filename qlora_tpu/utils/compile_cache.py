@@ -49,6 +49,20 @@ def cache_dir(base: str = "/tmp/jax_cache") -> str:
 def enable(jax_module, min_compile_secs: float = 1.0) -> None:
     if os.environ.get("QLORA_COMPILE_CACHE", "1") == "0":
         return
+    try:
+        backend = jax_module.default_backend()
+    except Exception:  # pragma: no cover - backend init failure
+        backend = "cpu"
+    if backend == "cpu":
+        # XLA:CPU AOT deserialization is UNSAFE on this host class: the
+        # loader itself warns "Machine type used for compilation doesn't
+        # match the machine type for execution ... could lead to SIGILL"
+        # when re-loading artifacts the SAME box wrote (pseudo-features
+        # like +prefer-no-scatter never appear in the host feature probe),
+        # and full-suite runs reproducibly SIGABRT inside cached shard_map
+        # executables.  Tests pay a cold compile instead of dying randomly;
+        # the TPU cache (where recompiles cost 20-40 s each) stays on.
+        return
     jax_module.config.update("jax_compilation_cache_dir", cache_dir())
     jax_module.config.update(
         "jax_persistent_cache_min_compile_time_secs", min_compile_secs

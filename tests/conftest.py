@@ -23,7 +23,9 @@ import pytest
 # programmatically, overriding the env var — force CPU back for tests.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
-# Persistent compile cache: keeps repeat test runs fast.
+# NOTE: enable() is a no-op on the CPU backend — XLA:CPU AOT cache reads
+# SIGABRT/SIGILL on this host class (see compile_cache.py); tests compile
+# cold.
 from qlora_tpu.utils.compile_cache import enable as _cc_enable
 _cc_enable(jax)
 

@@ -10,6 +10,8 @@ import pytest
 
 from qlora_tpu.cli import Args, train
 
+pytestmark = pytest.mark.slow  # heavy compiles: run via -m slow in CI
+
 
 def _write_alpaca(tmp_path, n=64):
     rows = [

@@ -13,6 +13,8 @@ import pytest
 
 from qlora_tpu.train import adamw, host_offload, make_optimizer
 
+pytestmark = pytest.mark.slow  # heavy compiles: run via -m slow in CI
+
 
 def _params():
     return {"a": jnp.ones((8, 4), jnp.float32), "b": jnp.zeros((3,), jnp.float32)}

@@ -18,6 +18,8 @@ from qlora_tpu.parallel.megatron_step import (
 )
 from qlora_tpu.train import init_train_state, make_optimizer, make_train_step
 
+pytestmark = pytest.mark.slow  # heavy compiles: run via -m slow in CI
+
 CFG = ModelConfig(
     arch="llama", vocab_size=512, hidden_size=256, intermediate_size=512,
     num_layers=2, num_heads=4, num_kv_heads=2,   # GQA heads split across tp

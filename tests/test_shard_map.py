@@ -11,6 +11,8 @@ from jax.experimental.shard_map import shard_map
 from qlora_tpu.ops import qmatmul
 from qlora_tpu.quant import QuantizedTensor, quantize, dequantize
 
+pytestmark = pytest.mark.slow  # heavy compiles: run via -m slow in CI
+
 
 @pytest.fixture(scope="module")
 def mesh():

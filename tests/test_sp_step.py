@@ -12,6 +12,8 @@ from qlora_tpu.models.config import ModelConfig
 from qlora_tpu.parallel.sp_step import make_sp_train_step
 from qlora_tpu.train import init_train_state, make_optimizer, make_train_step
 
+pytestmark = pytest.mark.slow  # heavy compiles: run via -m slow in CI
+
 CFG = ModelConfig(
     arch="llama", vocab_size=512, hidden_size=256, intermediate_size=512,
     num_layers=2, num_heads=4, num_kv_heads=2,   # GQA exercised through the ring
