@@ -99,6 +99,79 @@ def qmm_repeat(x, packed, am, shape, block_size, quant_type, reps=64,
 
 
 @functools.partial(
+    jax.jit, static_argnames=("shape", "block_size", "quant_type", "reps",
+                              "tk", "tn", "tm_max")
+)
+def qmm_bwd_repeat(g, packed, am, shape, block_size, quant_type, reps=32,
+                   tk=512, tn=512, tm_max=1024):
+    """dx = g @ dequant(packed, am)^T, `reps` times in one pallas call —
+    repeat-grid mirror of qmatmul._qmm_bwd_kernel for tile ablations."""
+    K, N = shape
+    K2 = K // 2
+    M = g.shape[0]
+    code = CODEBOOKS[quant_type]
+
+    TK = _pick_tile(K2, tuple(t for t in (2048, 1024, 512, 256, 128) if t <= tk))
+    TN = _pick_tile(N, tuple(t for t in (4096, 2048, 1024, 512, 256, 128) if t <= tn))
+    TM = _pick_tile(M, tuple(t for t in (1024, 512, 256, 128, 64, 32, 16) if t <= tm_max))
+    n_slices = TN // 128
+    g = g.astype(jnp.bfloat16)
+
+    nj_half = K2 // TK
+    grid = (reps, M // TM, K // TK, N // TN)
+    nb = TK // block_size
+    am_rows = K // block_size
+    am3 = am.reshape(am_rows // nb, nb, N)
+    tab = jnp.tile(jnp.asarray(code)[None, :], (TK, 128 // 16))
+
+    def kernel(g_ref, p_ref, am_ref, tab_ref, o_ref, acc_ref):
+        k = pl.program_id(3)
+        j = pl.program_id(2)
+
+        @pl.when(k == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        gv = g_ref[:]
+        tab_v = tab_ref[:]
+        for s in range(n_slices):
+            sl = slice(s * 128, (s + 1) * 128)
+            p32 = p_ref[:, sl].astype(jnp.int32)
+            nib = jnp.where(j < nj_half, p32 & 0x0F, p32 >> 4)
+            amv = am_ref[0, :, sl]
+            w = _scale_rows(jnp.take_along_axis(tab_v, nib, axis=1), amv,
+                            block_size)
+            acc_ref[:] += jax.lax.dot_general(
+                gv[:, sl], w.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        @pl.when(k == pl.num_programs(3) - 1)
+        def _():
+            o_ref[:] = acc_ref[:].astype(jnp.bfloat16)
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TM, TN), lambda r, i, j, k: (i, k)),
+            pl.BlockSpec((TK, TN), lambda r, i, j, k: (j % nj_half, k)),
+            pl.BlockSpec((1, nb, TN), lambda r, i, j, k: (j, 0, k)),
+            pl.BlockSpec((TK, 128), lambda r, i, j, k: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((TM, TK), lambda r, i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((M, K), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((TM, TK), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        interpret=_use_interpret(),
+    )(g, packed, am3, tab)
+
+
+@functools.partial(
     jax.jit, static_argnames=("shape", "reps", "tk", "tn", "tm_max")
 )
 def i8_direct_repeat(x8, w8, s_out, shape, reps=32, tk=2048, tn=512,
