@@ -27,10 +27,18 @@ from .sharded_step import (
     sharded_param_specs,
     sharded_param_shardings,
 )
+from .tp_decode import (
+    make_tp_forward_fn,
+    make_tp_mesh,
+    shard_decode_params,
+    shard_tp_cache,
+)
 
 __all__ = [
     "make_mesh", "batch_sharding", "param_shardings", "lora_shardings",
     "shard_params", "MeshAxes",
     "make_sharded_train_step", "init_sharded_train_state",
     "sharded_param_specs", "sharded_param_shardings",
+    "make_tp_forward_fn", "make_tp_mesh", "shard_decode_params",
+    "shard_tp_cache",
 ]
