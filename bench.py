@@ -178,6 +178,24 @@ def _scan_slope(mk, r1, r2, tries=4):
     return max((ts[r2] - ts[r1]) / (r2 - r1), 1e-9)
 
 
+def _dyn_slope(f, r1, r2, tries=4):
+    """Slope timing for f(seed, R) with DYNAMIC repeat count R — the 7B
+    product programs compile once per metric instead of once per R point
+    (each cold 7B compile is a multi-minute remote_compile request that can
+    crash the relay's compile service; halving the count matters more than
+    scan-vs-while_loop microstructure)."""
+    float(f(jnp.int32(1), jnp.int32(r1)))   # single compile + warmup
+    ts = {}
+    for R in (r1, r2):
+        best = float("inf")
+        for t in range(tries):
+            t0 = time.perf_counter()
+            float(f(jnp.int32(2 + t), jnp.int32(R)))
+            best = min(best, time.perf_counter() - t0)
+        ts[R] = best
+    return max((ts[r2] - ts[r1]) / (r2 - r1), 1e-9)
+
+
 def _flash_metrics():
     """Flash-attention fwd and train (fwd+bwd) MFU, 7B shape B2·H32·S2048·D128.
 
@@ -289,18 +307,23 @@ def _product_metrics():
     batch = {"input_ids": ids, "attention_mask": jnp.ones_like(ids),
              "labels": ids}
 
-    def mk_step(R):
-        def f(seed):
-            def body(st, r):
-                st2, m = step_fn(st, params, batch,
-                                 jax.random.fold_in(
-                                     jax.random.PRNGKey(0), r + seed))
-                return st2, m["loss"]
-            st, losses = jax.lax.scan(body, state, jnp.arange(R))
-            return jnp.sum(losses)
-        return jax.jit(f)
+    @jax.jit
+    def f_step(seed, R):
+        def cond(c):
+            return c[0] < R
 
-    t_step = _scan_slope(mk_step, r1=1, r2=3, tries=3)
+        def body(c):
+            i, st, acc = c
+            st2, m = step_fn(st, params, batch,
+                             jax.random.fold_in(jax.random.PRNGKey(0),
+                                                i + seed))
+            return (i + 1, st2, acc + m["loss"])
+
+        _, _, acc = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), state, jnp.float32(0.0)))
+        return acc
+
+    t_step = _dyn_slope(f_step, r1=1, r2=3, tries=3)
     # speed-of-light: ~6·tokens·P_linear matmul FLOPs (fwd + remat-fwd + dx)
     p_lin = (cfg.hidden_size * cfg.hidden_size *
              (2 + 2 * cfg.num_kv_heads / cfg.num_heads) +
@@ -315,7 +338,7 @@ def _product_metrics():
     # drop the train section's device state AND its jit cache — the params
     # tree is closure-captured into compiled executables and stays in HBM
     # until the cache is cleared
-    del state, lora_t, step_fn, mk_step
+    del state, lora_t, step_fn, f_step
     jax.clear_caches()
 
     # --- decode tokens/s at B=32, ctx 512 (int8 serving weights) ---
@@ -333,23 +356,27 @@ def _product_metrics():
 
     from qlora_tpu.ops.qmatmul import default_impl
 
-    def mk_decode(R):
-        def f(seed):
-            def body(carry, _):
-                cache, toks = carry
-                # w8a8 impl override routes the per-column int8 QLinears to
-                # the direct int8 MXU kernel (the PagedBatcher decode path)
-                with default_impl("w8a8"):
-                    logits, cache = forward(dec_params, lora, toks, cfg, lcfg,
-                                            cache=cache)
-                nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
-                return (cache, nxt[:, None] + seed * 0), nxt
-            (_, _), all_toks = jax.lax.scan(body, (cache0, toks0 + seed),
-                                            None, length=R)
-            return jnp.sum(all_toks)
-        return jax.jit(f)
+    @jax.jit
+    def f_decode(seed, R):
+        def cond(c):
+            return c[0] < R
 
-    t_dec = _scan_slope(mk_decode, r1=8, r2=24)
+        def body(c):
+            i, cache, toks, acc = c
+            # w8a8 impl override routes the per-column int8 QLinears to
+            # the direct int8 MXU kernel (the PagedBatcher decode path)
+            with default_impl("w8a8"):
+                logits, cache = forward(dec_params, lora, toks, cfg, lcfg,
+                                        cache=cache)
+            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            return (i + 1, cache, nxt[:, None] + seed * 0,
+                    acc + jnp.sum(nxt))
+
+        _, _, _, acc = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), cache0, toks0 + seed, jnp.int32(0)))
+        return acc
+
+    t_dec = _dyn_slope(f_decode, r1=8, r2=24)
     tps = B / t_dec
     # speed-of-light: weight-limited decode = int8 bytes / HBM peak per step
     # bytes the decode step actually streams: every weight except the embed
