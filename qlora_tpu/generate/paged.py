@@ -138,7 +138,7 @@ class PagedBatcher:
                  n_pages=2048, page_size=16, max_pages_per_seq=64,
                  prefill_buckets=(128, 256, 512), eos_id=2, sparams=None,
                  seed=0, decode_impl=None, prefill_impl=None,
-                 rolling_eviction=True):
+                 rolling_eviction=True, tp_mesh=None):
         # num_slots defaults to 128: the decode matmul's M dim equals the
         # slot count, and the fused NF4 kernel's MXU cost at M=16 equals
         # M=128 (row padding) — batching to M≈128 is ~free throughput ×8
@@ -172,6 +172,38 @@ class PagedBatcher:
         # sliding-window models: free pages fully behind the window (their
         # contents are masked by the kernel, so eviction is exact)
         self.rolling_eviction = rolling_eviction
+        # tensor-parallel serving: megatron-shard the params over a ("tp",)
+        # mesh, head-shard the page pools, and route prefill/decode through
+        # shard_map forwards (models bigger than one chip's HBM)
+        self.tp_mesh = tp_mesh
+        self._tp_prefill_fn = self._tp_decode_fn = None
+        if tp_mesh is not None:
+            if decode_impl or prefill_impl:
+                raise NotImplementedError(
+                    "int8/w8a8 serving impls are single-chip (per-column "
+                    "requant is not K-shard aware yet); tp serving runs the "
+                    "exact bf16 Pallas kernels per shard")
+            from jax.sharding import NamedSharding, PartitionSpec as _P
+
+            from qlora_tpu.parallel.megatron_step import megatron_lora_specs
+            from qlora_tpu.parallel.tp_decode import (
+                PAGED_CACHE_SPECS, make_tp_forward_fn, shard_decode_params,
+            )
+
+            self.params = params = shard_decode_params(params, tp_mesh)
+            if lora is not None:
+                lspecs = megatron_lora_specs(lora)
+                self.lora = lora = jax.tree_util.tree_map(
+                    lambda x, s: jax.device_put(x, NamedSharding(tp_mesh, s)),
+                    lora, lspecs, is_leaf=lambda x: isinstance(x, _P),
+                )
+            self._tp_prefill_fn = make_tp_forward_fn(
+                cfg, self.lcfg, tp_mesh, params, lora)
+            self._tp_decode_fn = make_tp_forward_fn(
+                cfg, self.lcfg, tp_mesh, params, lora, paged=True)
+            pool_spec = NamedSharding(tp_mesh, PAGED_CACHE_SPECS["k_pages"])
+            self.pool.k_pages = jax.device_put(self.pool.k_pages, pool_spec)
+            self.pool.v_pages = jax.device_put(self.pool.v_pages, pool_spec)
         self.decode_params = params
         if decode_impl == "int8":
             from qlora_tpu.generate.serve_int8 import requantize_params_int8
@@ -204,6 +236,15 @@ class PagedBatcher:
         from qlora_tpu.ops.qmatmul import default_impl
 
         cache = init_cache(self.cfg, 1, bucket)
+        if self._tp_prefill_fn is not None:
+            from qlora_tpu.parallel.tp_decode import shard_tp_cache
+
+            # fresh cache has length 0, so forward's default positions are
+            # arange(bucket) — identical to the explicit positions below
+            cache = shard_tp_cache(cache, self.tp_mesh)
+            logits, cache = self._tp_prefill_fn(self.params, self.lora,
+                                                ids_1xS, cache)
+            return logits[0, length - 1], cache["k"][:, 0], cache["v"][:, 0]
         positions = jnp.arange(bucket)[None, :]
         ctx = (default_impl(self.prefill_impl) if self.prefill_impl
                else contextlib.nullcontext())
@@ -278,14 +319,20 @@ class PagedBatcher:
 
         from qlora_tpu.ops.qmatmul import default_impl
 
-        ctx = (default_impl("w8a8") if self.decode_impl
-               else contextlib.nullcontext())
-        with ctx:
-            logits, cache = forward(
+        if self._tp_decode_fn is not None:
+            logits, cache = self._tp_decode_fn(
                 self.decode_params, self.lora,
-                jnp.asarray(self.last_tokens)[:, None], self.cfg, self.lcfg,
-                cache=cache,
+                jnp.asarray(self.last_tokens)[:, None], cache,
             )
+        else:
+            ctx = (default_impl("w8a8") if self.decode_impl
+                   else contextlib.nullcontext())
+            with ctx:
+                logits, cache = forward(
+                    self.decode_params, self.lora,
+                    jnp.asarray(self.last_tokens)[:, None], self.cfg,
+                    self.lcfg, cache=cache,
+                )
         self.pool.update_from(cache)
         toks = np.asarray(sample_token(sub, logits[:, 0], self.sparams))
         finished = []

@@ -44,6 +44,13 @@ CACHE_SPECS = {
     "length": P(),
 }
 
+PAGED_CACHE_SPECS = {
+    "k_pages": P(None, "tp", None, None, None),  # [L, KVH, np, P, hd]
+    "v_pages": P(None, "tp", None, None, None),
+    "tables": P(),
+    "length": P(),
+}
+
 
 def make_tp_mesh(tp: int) -> Mesh:
     return Mesh(np.asarray(jax.devices()[:tp]).reshape(tp), ("tp",))
@@ -69,18 +76,30 @@ def shard_tp_cache(cache: dict, mesh: Mesh) -> dict:
     }
 
 
+def shard_paged_cache(cache: dict, mesh: Mesh) -> dict:
+    """Place a paged-pool cache dict with its page pools head-sharded."""
+    return {
+        k: jax.device_put(v, NamedSharding(mesh, PAGED_CACHE_SPECS[k]))
+        for k, v in cache.items()
+    }
+
+
 def make_tp_forward_fn(
     cfg: ModelConfig,
     lcfg: LoraConfig,
     mesh: Mesh,
     params_example: dict,
     lora_example: Optional[dict] = None,
+    paged: bool = False,
 ):
     """Returns jit'd ``fn(params, lora, ids, cache) -> (logits, cache)``.
 
     Works for prefill (ids [B, S], positions from cache["length"]) and
     single-token decode (ids [B, 1]) alike — the same contiguous-cache
-    forward the single-chip engines use, sharded head-wise.
+    forward the single-chip engines use, sharded head-wise.  With
+    ``paged=True`` the cache is the paged-pool dict ({"k_pages", "v_pages",
+    "tables", "length"}, S must be 1) and the paged-attention kernel runs
+    on each device's local heads.
     """
     tp = mesh.shape["tp"]
     if cfg.num_heads % tp or cfg.num_kv_heads % tp:
@@ -91,6 +110,7 @@ def make_tp_forward_fn(
     pspecs = megatron_param_specs(params_example)
     lspecs = (None if lora_example is None
               else megatron_lora_specs(lora_example))
+    cspecs = PAGED_CACHE_SPECS if paged else CACHE_SPECS
 
     def local(params, lora, ids, cache):
         with tp_shard_context("tp", style="megatron"):
@@ -101,8 +121,8 @@ def make_tp_forward_fn(
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(pspecs, lspecs, P(), CACHE_SPECS),
-        out_specs=(P(), CACHE_SPECS),
+        in_specs=(pspecs, lspecs, P(), cspecs),
+        out_specs=(P(), cspecs),
         check_rep=False,
     )
     return jax.jit(fn)

@@ -95,6 +95,70 @@ def test_tp_cache_is_head_sharded():
     assert wq.addressable_shards[0].data.shape[-1] == wq.shape[-1] // tp
 
 
+def test_tp_paged_decode_matches_single_device():
+    # the two serving flagships composed: paged KV pool + tensor parallelism
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    from tests.test_paged_decode import _paged_from_contiguous
+    from qlora_tpu.parallel.tp_decode import (
+        make_tp_forward_fn, make_tp_mesh, shard_decode_params,
+        shard_paged_cache,
+    )
+
+    cfg = GQA
+    params = init_params(jax.random.PRNGKey(0), cfg, quantized=True)
+    B, S = 2, 6
+    ids = jax.random.randint(jax.random.PRNGKey(2), (B, S), 0, cfg.vocab_size)
+
+    cache = init_cache(cfg, B, 32)
+    logits_p, cache = forward(params, None, ids, cfg, LCFG, cache=cache)
+    cache = dict(cache, length=jnp.full((B,), S, jnp.int32))
+    paged_ref = _paged_from_contiguous(cache, cfg)
+
+    mesh = make_tp_mesh(2)
+    p_tp = shard_decode_params(params, mesh)
+    paged_tp = shard_paged_cache(paged_ref, mesh)
+    fn = make_tp_forward_fn(cfg, LCFG, mesh, p_tp, None, paged=True)
+
+    forced = jax.random.randint(jax.random.PRNGKey(3), (B, 3), 0,
+                                cfg.vocab_size)
+    for t in range(forced.shape[1]):
+        tok = forced[:, t:t + 1]
+        lr, paged_ref = forward(params, None, tok, cfg, LCFG, cache=paged_ref)
+        lt, paged_tp = fn(p_tp, None, tok, paged_tp)
+        np.testing.assert_allclose(np.asarray(lt[:, 0]), np.asarray(lr[:, 0]),
+                                   rtol=0, atol=0.2)
+
+
+def test_paged_batcher_over_tp_mesh():
+    # end-to-end serving engine on the tp mesh: admission → paged decode →
+    # retirement with full page recycling, params/pools head-sharded
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    from qlora_tpu.generate.paged import PagedBatcher
+    from qlora_tpu.generate.sampler import SamplingParams
+    from qlora_tpu.parallel.tp_decode import make_tp_mesh
+
+    cfg = CFG
+    params = init_params(jax.random.PRNGKey(0), cfg, quantized=True)
+    mesh = make_tp_mesh(2)
+    b = PagedBatcher(
+        params, None, cfg, num_slots=4, n_pages=64, page_size=8,
+        max_pages_per_seq=8, prefill_buckets=(16,), eos_id=-1,
+        sparams=SamplingParams(temperature=0.0), tp_mesh=mesh,
+    )
+    free0 = b.pool.n_free
+    for i in range(3):
+        b.submit(list(range(4 + i, 10 + i)), max_new_tokens=6)
+    done = b.run_to_completion()
+    assert len(done) == 3
+    assert all(len(r.generated) == 6 for r in done)
+    assert b.pool.n_free == free0          # every page recycled
+    # the pools stayed head-sharded through the whole loop
+    shard = b.pool.k_pages.addressable_shards[0].data
+    assert shard.shape[1] == cfg.num_kv_heads // 2
+
+
 def test_tp_decode_no_lora():
     if len(jax.devices()) < 2:
         pytest.skip("needs 2 virtual devices")
