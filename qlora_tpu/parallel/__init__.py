@@ -31,6 +31,7 @@ from .tp_decode import (
     make_tp_forward_fn,
     make_tp_mesh,
     shard_decode_params,
+    shard_paged_cache,
     shard_tp_cache,
 )
 
@@ -40,5 +41,5 @@ __all__ = [
     "make_sharded_train_step", "init_sharded_train_state",
     "sharded_param_specs", "sharded_param_shardings",
     "make_tp_forward_fn", "make_tp_mesh", "shard_decode_params",
-    "shard_tp_cache",
+    "shard_paged_cache", "shard_tp_cache",
 ]
