@@ -54,6 +54,10 @@ def main():
     ap.add_argument("--n_pages", type=int, default=2048)
     ap.add_argument("--page_size", type=int, default=16)
     ap.add_argument("--max_new_tokens", type=int, default=128)
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel chips (>1: megatron-sharded "
+                         "serving for models bigger than one chip; "
+                         "excludes --decode_impl/--prefill_impl)")
     ap.add_argument("--temperature", type=float, default=0.7)
     ap.add_argument("--top_p", type=float, default=0.9)
     args = ap.parse_args()
@@ -67,6 +71,14 @@ def main():
         like = init_lora_params(jax.random.PRNGKey(0), cfg, lcfg)
         lora, _, _ = load_checkpoint(ckpt or args.adapter_path, like)
 
+    tp_mesh = None
+    if args.tp > 1:
+        # models bigger than one chip: megatron-shard over tp chips with
+        # head-sharded page pools (parallel/tp_decode.py)
+        from qlora_tpu.parallel.tp_decode import make_tp_mesh
+
+        tp_mesh = make_tp_mesh(args.tp)
+
     batcher = PagedBatcher(
         params, lora, cfg, lcfg,
         num_slots=args.num_slots, n_pages=args.n_pages, decode_impl=args.decode_impl,
@@ -74,6 +86,7 @@ def main():
         eos_id=tokenizer.eos_token_id,
         sparams=SamplingParams(do_sample=True, temperature=args.temperature,
                                top_p=args.top_p),
+        tp_mesh=tp_mesh,
     )
 
     if args.prompts:
