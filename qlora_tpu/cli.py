@@ -418,10 +418,6 @@ def train(args: Args) -> dict:
                     raise ValueError(
                         "mesh_sp composes with mesh_dp only (weights stay "
                         "replicated on the ring; use fsdp/tp without sp)")
-                if args.gradient_accumulation_steps > 1:
-                    raise NotImplementedError(
-                        "mesh_sp does not support gradient accumulation; "
-                        "raise mesh_dp or the batch size instead")
                 from qlora_tpu.parallel.sp_step import make_sp_train_step
                 from qlora_tpu.train.loss import IGNORE_INDEX
 
@@ -431,17 +427,20 @@ def train(args: Args) -> dict:
                     ("dp", "sp"),
                 )
                 sp_fn = make_sp_train_step(
-                    cfg, lcfg, optimizer, mesh_s, params, state, donate=False)
+                    cfg, lcfg, optimizer, mesh_s, params, state,
+                    accum_steps=args.gradient_accumulation_steps,
+                    donate=False)
                 _spn = args.mesh_sp
 
                 def step_fn(st, fr, b, r):
                     ids, labels = b["input_ids"], b["labels"]
-                    pad = (-ids.shape[1]) % _spn
+                    pad = (-ids.shape[-1]) % _spn
                     if pad:
                         # ring shards need S % sp == 0; right pads sit after
                         # every real token (causal ⇒ exact) and are loss-masked
-                        ids = jnp.pad(ids, ((0, 0), (0, pad)))
-                        labels = jnp.pad(labels, ((0, 0), (0, pad)),
+                        widths = [(0, 0)] * (ids.ndim - 1) + [(0, pad)]
+                        ids = jnp.pad(ids, widths)
+                        labels = jnp.pad(labels, widths,
                                          constant_values=IGNORE_INDEX)
                     return sp_fn(st, fr,
                                  {"input_ids": ids, "labels": labels}, r)

@@ -45,11 +45,15 @@ def make_sp_train_step(
     mesh: Mesh,
     frozen_example: dict,
     state_example: TrainState,
+    accum_steps: int = 1,
     clip_norm: Optional[float] = 0.3,
     donate: bool = True,
 ):
-    """Returns train_step(state, frozen, batch, rng) with batch [B, S]:
-    B sharded over dp, S sharded over sp.  mesh axes: ("dp", "sp")."""
+    """Returns train_step(state, frozen, batch, rng) with batch [B, S]
+    (or [accum, B, S] when accum_steps > 1): B sharded over dp, S sharded
+    over sp.  mesh axes: ("dp", "sp").  Accumulation mirrors sharded_step:
+    per-microbatch grads of the GLOBAL token mean summed in an in-step
+    scan, ONE grad psum at the end."""
     from qlora_tpu.models.transformer import forward
 
     for ax in ("dp", "sp"):
@@ -61,28 +65,55 @@ def make_sp_train_step(
         step=P(), trainable=replicated_like(state_example.trainable),
         opt_state=replicated_like(state_example.opt_state),
     )
-    batch_specs = {"input_ids": P("dp", "sp"), "labels_shifted": P("dp", "sp")}
+    bspec = P("dp", "sp") if accum_steps == 1 else P(None, "dp", "sp")
+    batch_specs = {"input_ids": bspec, "labels_shifted": bspec}
 
     def local_step(state, frozen, batch, rng):
-        def loss_sum_fn(trainable):
+        def loss_sum_fn(trainable, ids, labels, r):
             logits, _ = forward(
-                frozen, trainable, batch["input_ids"], cfg, lcfg,
-                rng=rng, remat=True, sp_axis="sp",
+                frozen, trainable, ids, cfg, lcfg,
+                rng=r, remat=True, sp_axis="sp",
             )
             # labels were shifted GLOBALLY before sharding, so local logits
             # align with local labels — no cross-shard shift needed here
-            loss, n = masked_cross_entropy(logits, batch["labels_shifted"])
-            return loss * n, n
+            loss, n = masked_cross_entropy(logits, labels)
+            return loss * n, n   # LOCAL token-loss sum — no collectives
 
-        (lsum, n), grads = jax.value_and_grad(loss_sum_fn, has_aux=True)(
-            state.trainable
-        )
-        n_glob = jax.lax.psum(n, SP_DATA_AXES)
-        denom = jnp.maximum(n_glob, 1).astype(jnp.float32)
-        grads = jax.lax.psum(
-            jax.tree_util.tree_map(lambda g: g / denom, grads), SP_DATA_AXES
-        )
-        loss = jax.lax.psum(lsum, SP_DATA_AXES) / denom
+        grad_fn = jax.value_and_grad(loss_sum_fn, has_aux=True)
+
+        def micro(trainable, ids, labels, r):
+            (lsum, n), g = grad_fn(trainable, ids, labels, r)
+            n_glob = jax.lax.psum(n, SP_DATA_AXES)         # scalar — cheap
+            denom = jnp.maximum(n_glob, 1).astype(jnp.float32)
+            g = jax.tree_util.tree_map(lambda t: t / denom, g)
+            return g, jax.lax.psum(lsum, SP_DATA_AXES), n_glob
+
+        if accum_steps == 1:
+            g_local, ls, ns = micro(state.trainable, batch["input_ids"],
+                                    batch["labels_shifted"], rng)
+        else:
+            rngs = jax.random.split(rng, accum_steps)
+
+            def body(carry, xs):
+                gsum, ls, ns = carry
+                ids, labels, r = xs
+                g, lsum_g, n_g = micro(state.trainable, ids, labels, r)
+                return (jax.tree_util.tree_map(jnp.add, gsum, g),
+                        ls + lsum_g, ns + n_g), None
+
+            zeros = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.trainable
+            )
+            (g_local, ls, ns), _ = jax.lax.scan(
+                body, (zeros, jnp.float32(0), jnp.int32(0)),
+                (batch["input_ids"], batch["labels_shifted"], rngs),
+            )
+            g_local = jax.tree_util.tree_map(
+                lambda g: g / accum_steps, g_local
+            )
+        loss = ls / jnp.maximum(ns, 1).astype(jnp.float32)
+
+        grads = jax.lax.psum(g_local, SP_DATA_AXES)
         gnorm = optax.global_norm(grads)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.trainable)
@@ -105,11 +136,13 @@ def make_sp_train_step(
     def train_step(state, frozen, batch, rng):
         labels = batch["labels"]
         # global next-token shift BEFORE sequence sharding (a local shift
-        # would drop the prediction at every shard boundary)
+        # would drop the prediction at every shard boundary); works for
+        # [B, S] and [accum, B, S] alike (shift along the sequence axis)
+        pad_shape = labels.shape[:-1] + (1,)
         shifted = jnp.concatenate(
-            [labels[:, 1:],
-             jnp.full((labels.shape[0], 1), IGNORE_INDEX, labels.dtype)],
-            axis=1,
+            [labels[..., 1:],
+             jnp.full(pad_shape, IGNORE_INDEX, labels.dtype)],
+            axis=-1,
         )
         return sharded(
             state, frozen,

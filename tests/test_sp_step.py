@@ -58,6 +58,37 @@ def test_sp_step_matches_single_device(mesh):
         assert d.max() < 8e-3 and d.mean() < 2e-4
 
 
+def test_sp_step_accumulation_matches_single_device(mesh):
+    params = init_params(jax.random.PRNGKey(0), CFG, quantized=True)
+    lora = init_lora_params(jax.random.PRNGKey(1), CFG, LCFG)
+    opt = make_optimizer("paged_adamw_32bit", 1e-3, total_steps=10)
+
+    ACC, B, S = 2, 4, 32
+    ids = jax.random.randint(jax.random.PRNGKey(2), (ACC, B, S), 0,
+                             CFG.vocab_size)
+    batch = {"input_ids": ids, "attention_mask": jnp.ones_like(ids),
+             "labels": ids}
+
+    s_ref = init_train_state(lora, opt)
+    ref_step = make_train_step(CFG, LCFG, opt, accum_steps=ACC, donate=False)
+    s_sp = init_train_state(lora, opt)
+    sp_step = make_sp_train_step(CFG, LCFG, opt, mesh, params, s_sp,
+                                 accum_steps=ACC, donate=False)
+
+    for i in range(2):
+        rng = jax.random.PRNGKey(70 + i)
+        s_ref, m_ref = ref_step(s_ref, params, batch, rng)
+        s_sp, m_sp = sp_step(s_sp, params, batch, rng)
+        np.testing.assert_allclose(float(m_sp["grad_norm"]),
+                                   float(m_ref["grad_norm"]), rtol=5e-3)
+        np.testing.assert_allclose(float(m_sp["loss"]), float(m_ref["loss"]),
+                                   rtol=2e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(s_sp.trainable),
+                    jax.tree_util.tree_leaves(s_ref.trainable)):
+        d = np.abs(np.asarray(a) - np.asarray(b))
+        assert d.max() < 8e-3 and d.mean() < 2e-4
+
+
 def test_sp_step_converges(mesh):
     params = init_params(jax.random.PRNGKey(0), CFG, quantized=True)
     lora = init_lora_params(jax.random.PRNGKey(1), CFG, LCFG)
