@@ -30,9 +30,16 @@ class ModelConfig:
     hidden_act: str = "silu"       # llama: silu (SwiGLU); neox: gelu (plain MLP)
     sliding_window: Optional[int] = None   # Mistral-style local attention
     attention_bias: bool = False           # Qwen2-style qkv biases
+    # Gemma-isms: explicit head_dim (≠ hidden/heads on 7B), zero-centered
+    # RMSNorm weights multiplied as (1 + w), sqrt(hidden) embedding scaling
+    head_dim_override: Optional[int] = None
+    norm_plus_one: bool = False
+    scale_embeddings: bool = False
 
     @property
     def head_dim(self) -> int:
+        if self.head_dim_override is not None:
+            return self.head_dim_override
         return self.hidden_size // self.num_heads
 
 
@@ -109,6 +116,25 @@ def qwen2_config(name: str, **kw) -> ModelConfig:
     )
 
 
+def gemma_config(name: str, **kw) -> ModelConfig:
+    """Gemma family: LLaMA-shaped blocks + GeGLU (gelu-tanh), (1+w) RMSNorm,
+    sqrt(hidden) embedding scaling, explicit head_dim, tied lm_head."""
+    table = {
+        # name: (hidden, inter, layers, heads, kv, head_dim, vocab)
+        "gemma-2b": (2048, 16384, 18, 8, 1, 256, 256000),
+        "gemma-7b": (3072, 24576, 28, 16, 16, 256, 256000),
+        "debug-gemma": (256, 512, 2, 4, 2, 32, 512),
+    }
+    h, inter, layers, heads, kv, hd, vocab = table[name]
+    return ModelConfig(
+        arch="llama", vocab_size=vocab, hidden_size=h, intermediate_size=inter,
+        num_layers=layers, num_heads=heads, num_kv_heads=kv,
+        max_position_embeddings=8192, rope_theta=10000.0, norm_eps=1e-6,
+        hidden_act="gelu_tanh", head_dim_override=hd, norm_plus_one=True,
+        scale_embeddings=True, tie_word_embeddings=True, **kw,
+    )
+
+
 # registry mapping HF-style model ids to configs (quantize-on-load, N4)
 PRESETS = {
     "huggyllama/llama-7b": lambda: llama_config("7b"),
@@ -130,6 +156,9 @@ PRESETS = {
     "Qwen/Qwen2-0.5B": lambda: qwen2_config("qwen2-0.5b"),
     "Qwen/Qwen2-1.5B": lambda: qwen2_config("qwen2-1.5b"),
     "Qwen/Qwen2-7B": lambda: qwen2_config("qwen2-7b"),
+    "google/gemma-2b": lambda: gemma_config("gemma-2b"),
+    "google/gemma-7b": lambda: gemma_config("gemma-7b"),
+    "debug-gemma": lambda: gemma_config("debug-gemma"),
 }
 
 

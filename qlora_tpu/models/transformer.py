@@ -98,6 +98,11 @@ def _megatron_axis():
     return tp_axis if (style == "megatron" and tp_axis is not None) else None
 
 
+def _nscale(cfg, scale):
+    """RMSNorm weight as multiplied: gemma stores zero-centered (1 + w)."""
+    return scale + 1.0 if cfg.norm_plus_one else scale
+
+
 def _attn(cfg, block, lora, lcfg, x, cos, sin, mask, cache_kv, pos, rng,
           flash_lengths=None, sp_axis=None):
     """Attention sub-block. cache_kv: None or (k_buf, v_buf) [B, T, KVH, hd].
@@ -230,7 +235,10 @@ def _mlp(cfg, block, lora, lcfg, x, rng):
     if cfg.arch == "llama":
         g = _block_linear(block, lora, "w_gate", x, lcfg, rng, col)
         u = _block_linear(block, lora, "w_up", x, lcfg, rng, col)
-        h = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)).astype(
+        # gated activation: SwiGLU (llama/mistral/qwen2) or GeGLU-tanh (gemma)
+        act = (functools.partial(jax.nn.gelu, approximate=True)
+               if cfg.hidden_act == "gelu_tanh" else jax.nn.silu)
+        h = (act(g.astype(jnp.float32)) * u.astype(jnp.float32)).astype(
             jnp.bfloat16
         )
         if mega:
@@ -250,11 +258,11 @@ def block_forward(cfg, lcfg, x, block, lora, cos, sin, mask, cache_kv, pos, rng,
                   flash_lengths=None, sp_axis=None):
     """One transformer block. Returns (x, new_cache_kv)."""
     if cfg.arch == "llama":
-        h = rms_norm(x, block["attn_norm"], cfg.norm_eps)
+        h = rms_norm(x, _nscale(cfg, block["attn_norm"]), cfg.norm_eps)
         a, new_cache = _attn(cfg, block, lora, lcfg, h, cos, sin, mask, cache_kv,
                              pos, rng, flash_lengths, sp_axis)
         x = x + a
-        h2 = rms_norm(x, block["mlp_norm"], cfg.norm_eps)
+        h2 = rms_norm(x, _nscale(cfg, block["mlp_norm"]), cfg.norm_eps)
         x = x + _mlp(cfg, block, lora, lcfg, h2, rng)
     else:
         h1 = layer_norm(x, block["ln1"]["scale"], block["ln1"]["bias"], cfg.norm_eps)
@@ -300,6 +308,10 @@ def forward(
     # under shard_map the embedding table may be feature-sharded over
     # (tp, fsdp); lookup_embedding reassembles full-D activations
     x = lookup_embedding(params["embed"], ids, jnp.bfloat16)
+    if cfg.scale_embeddings:
+        # gemma: hidden *= sqrt(hidden_size), normalizer cast to the compute
+        # dtype first (matches HF GemmaModel exactly)
+        x = x * jnp.asarray(cfg.hidden_size ** 0.5, jnp.bfloat16)
 
     if sp_axis is not None:
         # sequence-parallel training: this device holds a contiguous S-shard;
@@ -409,7 +421,8 @@ def forward(
         new_cache = None
 
     if cfg.arch == "llama":
-        x = rms_norm(x, params["final_norm"]["scale"], cfg.norm_eps)
+        x = rms_norm(x, _nscale(cfg, params["final_norm"]["scale"]),
+                     cfg.norm_eps)
     else:
         x = layer_norm(
             x, params["final_norm"]["scale"], params["final_norm"]["bias"], cfg.norm_eps

@@ -33,7 +33,10 @@ def read_hf_config(path: str) -> ModelConfig:
     with open(os.path.join(path, "config.json")) as f:
         c = json.load(f)
     mt = c.get("model_type")
-    if mt in ("llama", "mistral", "qwen2"):
+    if mt in ("llama", "mistral", "qwen2", "gemma"):
+        act = c.get("hidden_activation") or c.get("hidden_act", "silu")
+        if act in ("gelu_pytorch_tanh", "gelu_new"):
+            act = "gelu_tanh"
         return ModelConfig(
             arch="llama",
             vocab_size=c["vocab_size"],
@@ -45,10 +48,13 @@ def read_hf_config(path: str) -> ModelConfig:
             max_position_embeddings=c.get("max_position_embeddings", 2048),
             rope_theta=c.get("rope_theta", 10000.0),
             norm_eps=c.get("rms_norm_eps", 1e-5),
-            tie_word_embeddings=c.get("tie_word_embeddings", False),
-            hidden_act=c.get("hidden_act", "silu"),
+            tie_word_embeddings=c.get("tie_word_embeddings", mt == "gemma"),
+            hidden_act=act,
             sliding_window=c.get("sliding_window"),
             attention_bias=c.get("attention_bias", mt == "qwen2"),
+            head_dim_override=c.get("head_dim"),
+            norm_plus_one=(mt == "gemma"),
+            scale_embeddings=(mt == "gemma"),
         )
     if mt == "gpt_neox":
         return ModelConfig(

@@ -149,3 +149,25 @@ def test_mistral_parity(tiny_mistral):
 
 def test_qwen2_parity(tiny_qwen2):
     _compare(*tiny_qwen2, atol=0.2)
+
+
+@pytest.fixture(scope="module")
+def tiny_gemma(tmp_path_factory):
+    d = tmp_path_factory.mktemp("hf_gemma")
+    cfg = transformers.GemmaConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=64,                     # ≠ hidden/heads: exercises override
+        max_position_embeddings=128,
+        hidden_activation="gelu_pytorch_tanh",
+    )
+    torch.manual_seed(4)
+    model = transformers.GemmaForCausalLM(cfg).eval()
+    model.save_pretrained(d)
+    return str(d), model
+
+
+def test_gemma_parity(tiny_gemma):
+    # (1+w) RMSNorm, GeGLU-tanh, sqrt(hidden) embed scaling, tied head,
+    # explicit head_dim — all against transformers' reference forward
+    _compare(*tiny_gemma, atol=0.2)
