@@ -54,6 +54,8 @@ def llama_config(n_params: str, **kw) -> ModelConfig:
         "llama2-7b": (4096, 11008, 32, 32, 32, 32000, 4096),
         "llama2-13b": (5120, 13824, 40, 40, 40, 32000, 4096),
         "llama2-70b": (8192, 28672, 80, 64, 8, 32000, 4096),
+        "llama3-8b": (4096, 14336, 32, 32, 8, 128256, 8192),
+        "llama3-70b": (8192, 28672, 80, 64, 8, 128256, 8192),
         # tiny config for CPU tests
         "debug": (256, 512, 2, 4, 4, 512, 512),
     }
@@ -156,6 +158,10 @@ PRESETS = {
     "Qwen/Qwen2-0.5B": lambda: qwen2_config("qwen2-0.5b"),
     "Qwen/Qwen2-1.5B": lambda: qwen2_config("qwen2-1.5b"),
     "Qwen/Qwen2-7B": lambda: qwen2_config("qwen2-7b"),
+    "meta-llama/Meta-Llama-3-8B": lambda: llama_config(
+        "llama3-8b", rope_theta=500000.0),
+    "meta-llama/Meta-Llama-3-70B": lambda: llama_config(
+        "llama3-70b", rope_theta=500000.0),
     "google/gemma-2b": lambda: gemma_config("gemma-2b"),
     "google/gemma-7b": lambda: gemma_config("gemma-7b"),
     "debug-gemma": lambda: gemma_config("debug-gemma"),
