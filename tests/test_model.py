@@ -11,7 +11,7 @@ from qlora_tpu.models import (
 )
 
 
-@pytest.fixture(scope="module", params=["debug", "debug-neox"])
+@pytest.fixture(scope="module", params=["debug", "debug-neox", "debug-gemma"])
 def setup(request):
     cfg = get_config(request.param)
     key = jax.random.PRNGKey(0)
