@@ -405,13 +405,61 @@ def train(args: Args) -> dict:
                     f"x{args.mesh_sp} needs {ndev} devices, have "
                     f"{len(jax.devices())}"
                 )
-            if mode != "lora":
-                raise NotImplementedError("mesh training supports LoRA mode")
             if args.tp_style not in ("gather", "megatron"):
                 raise ValueError(f"unknown tp_style {args.tp_style!r}")
-            _sp_mode = args.mesh_sp > 1
+            _full_mode = mode != "lora"
+            _sp_mode = args.mesh_sp > 1 and not _full_mode
             _megatron = False
-            if _sp_mode:
+            if _full_mode:
+                # GSPMD full finetune: dense bf16 params (full_finetune
+                # forces bits=16) shard over fsdp×tp, optimizer state
+                # follows the params, batch over dp — XLA partitions the
+                # SAME single-device train step (no QLinears on this path,
+                # so no Pallas partitioning constraint)
+                if args.mesh_sp > 1:
+                    raise NotImplementedError(
+                        "full_finetune does not compose with mesh_sp")
+                if args.tp_style == "megatron":
+                    raise NotImplementedError(
+                        "full_finetune shards via GSPMD (tp_style=gather)")
+                from jax.sharding import PartitionSpec as _P
+
+                from qlora_tpu.parallel.megatron_step import _opt_specs_like
+                from qlora_tpu.parallel.mesh import (
+                    MeshAxes as _MeshAxes, make_mesh as _make_mesh,
+                    param_shardings as _param_shardings,
+                )
+
+                gmesh = _make_mesh(_MeshAxes(
+                    dp=args.mesh_dp, fsdp=args.mesh_fsdp, tp=args.mesh_tp))
+                shardings = _param_shardings(params, gmesh)
+                params = jax.tree_util.tree_map(
+                    jax.device_put, params, shardings)
+                pspecs = jax.tree_util.tree_map(
+                    lambda s: s.spec, shardings,
+                    is_leaf=lambda x: isinstance(x, NamedSharding))
+                ospecs = _opt_specs_like(state.opt_state, params, pspecs)
+                opt_sharded = jax.tree_util.tree_map(
+                    lambda x, s: jax.device_put(x, NamedSharding(gmesh, s)),
+                    state.opt_state, ospecs,
+                    is_leaf=lambda x: isinstance(x, _P))
+                state = state.replace(trainable=params,
+                                      opt_state=opt_sharded)
+                base_fn = make_train_step(
+                    cfg, lcfg, optimizer,
+                    accum_steps=args.gradient_accumulation_steps,
+                    donate=False, mode="full",
+                )
+                _bsh = NamedSharding(
+                    gmesh,
+                    _P("dp", None) if args.gradient_accumulation_steps == 1
+                    else _P(None, "dp", None),
+                )
+
+                def step_fn(st, fr, b, r):
+                    b = {k: jax.device_put(v, _bsh) for k, v in b.items()}
+                    return base_fn(st, fr, b, r)
+            elif _sp_mode:
                 # sequence-parallel ring-attention training (dp×sp): the
                 # sequence dim shards over sp, KV shards rotate via ppermute
                 if args.mesh_fsdp > 1 or args.mesh_tp > 1:
@@ -490,7 +538,7 @@ def train(args: Args) -> dict:
                 step_fn = lambda st, fr, b, r: sh_fn(st, fr, b, r)
                 # skip the gather-style setup below
                 _megatron = True
-            _gather = not (_sp_mode or _megatron)
+            _gather = not (_full_mode or _sp_mode or _megatron)
             if _gather:
                 mesh = Mesh(
                     _np.asarray(jax.devices()[:ndev]).reshape(

@@ -207,6 +207,30 @@ def test_cli_mesh_training_sp(tmp_path):
     assert len(losses) == 3 and all(np.isfinite(losses))
 
 
+def test_cli_mesh_full_finetune(tmp_path):
+    # GSPMD full finetune: dense params + optimizer state shard over
+    # fsdp×tp, batch over dp, same train step partitioned by XLA
+    import jax as _jax
+    if len(_jax.devices()) < 8:
+        import pytest as _pytest
+        _pytest.skip("needs 8 virtual devices")
+    data = _write_alpaca(tmp_path, n=16)
+    out = str(tmp_path / "mesh_full_out")
+    args = Args(
+        model_name_or_path="debug", init_random=True, fake_tokenizer=True,
+        dataset=data, output_dir=out, max_steps=3, full_finetune=True,
+        bits=16, learning_rate=1e-4,
+        per_device_train_batch_size=4, gradient_accumulation_steps=2,
+        lora_r=4, source_max_len=32, target_max_len=16, logging_steps=1,
+        save_steps=100, group_by_length=False,
+        mesh_dp=2, mesh_fsdp=2, mesh_tp=2,
+    )
+    m = train(args)
+    losses = [h["loss"] for h in m["train_metrics"]]
+    assert len(losses) == 3 and all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+
 def test_resume_fast_forwards_data():
     from qlora_tpu.cli import _iter_batches
     from qlora_tpu.utils.testing import FakeTokenizer
