@@ -178,37 +178,61 @@ class PagedBatcher:
         self.tp_mesh = tp_mesh
         self._tp_prefill_fn = self._tp_decode_fn = None
         if tp_mesh is not None:
-            if decode_impl or prefill_impl:
+            if prefill_impl or decode_impl == "w8a8":
                 raise NotImplementedError(
-                    "int8/w8a8 serving impls are single-chip (per-column "
-                    "requant is not K-shard aware yet); tp serving runs the "
-                    "exact bf16 Pallas kernels per shard")
+                    "in-kernel w8a8 impls are single-chip; tp serving "
+                    "supports decode_impl='int8' (chunk-local per-column "
+                    "requant) or the exact bf16 Pallas kernels")
             from jax.sharding import NamedSharding, PartitionSpec as _P
 
-            from qlora_tpu.parallel.megatron_step import megatron_lora_specs
+            from qlora_tpu.parallel.megatron_step import (
+                megatron_lora_specs, megatron_param_specs,
+            )
             from qlora_tpu.parallel.tp_decode import (
                 PAGED_CACHE_SPECS, make_tp_forward_fn, shard_decode_params,
             )
 
+            def _put(tree, specs):
+                return jax.tree_util.tree_map(
+                    lambda x, s: jax.device_put(x, NamedSharding(tp_mesh, s)),
+                    tree, specs, is_leaf=lambda x: isinstance(x, _P),
+                )
+
+            orig_params = params
             self.params = params = shard_decode_params(params, tp_mesh)
             if lora is not None:
-                lspecs = megatron_lora_specs(lora)
-                self.lora = lora = jax.tree_util.tree_map(
-                    lambda x, s: jax.device_put(x, NamedSharding(tp_mesh, s)),
-                    lora, lspecs, is_leaf=lambda x: isinstance(x, _P),
-                )
+                self.lora = lora = _put(lora, megatron_lora_specs(lora))
             self._tp_prefill_fn = make_tp_forward_fn(
                 cfg, self.lcfg, tp_mesh, params, lora)
+            self.decode_params = params
+            if decode_impl == "int8":
+                # chunk-local per-column int8 serving copy: row-parallel
+                # linears quantize per K-chunk so each device's partial
+                # dequantizes exactly before the psum
+                from qlora_tpu.generate.serve_int8 import (
+                    requantize_params_int8,
+                )
+
+                dec = requantize_params_int8(
+                    orig_params,
+                    row_parallel_k_shards=tp_mesh.shape["tp"])
+                dec_blocks = _put(dec["blocks"],
+                                  megatron_param_specs(dec)["blocks"])
+                self.decode_params = dict(params, blocks=dec_blocks)
             self._tp_decode_fn = make_tp_forward_fn(
-                cfg, self.lcfg, tp_mesh, params, lora, paged=True)
+                cfg, self.lcfg, tp_mesh, self.decode_params, lora,
+                paged=True, impl="w8a8" if decode_impl == "int8" else None)
             pool_spec = NamedSharding(tp_mesh, PAGED_CACHE_SPECS["k_pages"])
             self.pool.k_pages = jax.device_put(self.pool.k_pages, pool_spec)
             self.pool.v_pages = jax.device_put(self.pool.v_pages, pool_spec)
-        self.decode_params = params
-        if decode_impl == "int8":
-            from qlora_tpu.generate.serve_int8 import requantize_params_int8
+        else:
+            self.decode_params = params
+            if decode_impl == "int8":
+                from qlora_tpu.generate.serve_int8 import (
+                    requantize_params_int8,
+                )
 
-            self.decode_params = requantize_params_int8(params)
+                self.decode_params = requantize_params_int8(params)
         self.slot_req = [None] * num_slots
         self.slot_uid = [0] * num_slots          # 0 = free (uid 0 reserved)
         self.last_tokens = np.zeros((num_slots,), np.int32)

@@ -17,21 +17,30 @@ import jax
 import jax.numpy as jnp
 
 from qlora_tpu.models.layers import DenseLinear, QLinear
-from qlora_tpu.quant.blockwise import dequantize, quantize
+from qlora_tpu.quant.blockwise import dequantize, quantize, quantize_k_sharded
 
 
-def requantize_linear_int8(lin: QLinear) -> QLinear:
-    """Stacked [L, ...] QLinear → per-column int8 QLinear (block_size=K)."""
+def requantize_linear_int8(lin: QLinear, k_shards: int = 1) -> QLinear:
+    """Stacked [L, ...] QLinear → per-column int8 QLinear (block_size=K).
+
+    ``k_shards > 1`` quantizes per-column PER K-CHUNK (block_size = K/tp,
+    ``QuantizedTensor.k_shards`` set) so row-parallel tensor-parallel
+    serving can run each device's chunk through the direct int8 MXU kernel:
+    every partial product is dequantized by its own chunk-local column
+    scale before the psum, so the reduction is exact over the int8 values.
+    """
     n_layers = lin.qt.packed.shape[0]
 
     def one(lin_l):
         w = dequantize(lin_l.qt, jnp.float32)
         K = w.shape[0]
-        return QLinear(
-            qt=quantize(w, block_size=K, quant_type="int8",
-                        double_quant=False),
-            bias=lin_l.bias,
-        )
+        if k_shards > 1:
+            qt = quantize_k_sharded(w, k_shards, block_size=K // k_shards,
+                                    quant_type="int8", double_quant=False)
+        else:
+            qt = quantize(w, block_size=K, quant_type="int8",
+                          double_quant=False)
+        return QLinear(qt=qt, bias=lin_l.bias)
 
     per_layer = [
         one(jax.tree_util.tree_map(lambda x: x[i], lin))
@@ -40,15 +49,19 @@ def requantize_linear_int8(lin: QLinear) -> QLinear:
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_layer)
 
 
-def requantize_params_int8(params: dict) -> dict:
+def requantize_params_int8(params: dict, row_parallel_k_shards: int = 1) -> dict:
     """Serving copy of the model params with every QLinear per-column int8.
 
     Non-QLinear leaves (embed, norms, DenseLinear lm_head) are shared with
-    the original tree (no copy)."""
+    the original tree (no copy).  ``row_parallel_k_shards`` K-chunks the
+    megatron row-parallel linears (wo/w_down/w_out) for tp serving."""
+    from qlora_tpu.parallel.megatron_step import ROW_PARALLEL
+
     blocks = {}
     for name, v in params["blocks"].items():
         if isinstance(v, QLinear):
-            blocks[name] = requantize_linear_int8(v)
+            ks = (row_parallel_k_shards if name in ROW_PARALLEL else 1)
+            blocks[name] = requantize_linear_int8(v, ks)
         else:
             blocks[name] = v
     return dict(params, blocks=blocks)

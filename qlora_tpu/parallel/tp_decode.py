@@ -91,6 +91,7 @@ def make_tp_forward_fn(
     params_example: dict,
     lora_example: Optional[dict] = None,
     paged: bool = False,
+    impl: Optional[str] = None,
 ):
     """Returns jit'd ``fn(params, lora, ids, cache) -> (logits, cache)``.
 
@@ -99,13 +100,18 @@ def make_tp_forward_fn(
     forward the single-chip engines use, sharded head-wise.  With
     ``paged=True`` the cache is the paged-pool dict ({"k_pages", "v_pages",
     "tables", "length"}, S must be 1) and the paged-attention kernel runs
-    on each device's local heads.
+    on each device's local heads.  ``impl="w8a8"`` routes QLinears through
+    the int8 serving kernels (chunk-local per-column int8 weights — see
+    generate/serve_int8.requantize_params_int8(row_parallel_k_shards=tp)).
     """
     tp = mesh.shape["tp"]
     if cfg.num_heads % tp or cfg.num_kv_heads % tp:
         raise ValueError(
             f"heads ({cfg.num_heads}/{cfg.num_kv_heads}) must divide tp={tp}")
+    import contextlib
+
     from qlora_tpu.models.transformer import forward
+    from qlora_tpu.ops.qmatmul import default_impl
 
     pspecs = megatron_param_specs(params_example)
     lspecs = (None if lora_example is None
@@ -113,7 +119,8 @@ def make_tp_forward_fn(
     cspecs = PAGED_CACHE_SPECS if paged else CACHE_SPECS
 
     def local(params, lora, ids, cache):
-        with tp_shard_context("tp", style="megatron"):
+        ctx = default_impl(impl) if impl else contextlib.nullcontext()
+        with tp_shard_context("tp", style="megatron"), ctx:
             logits, new_cache = forward(params, lora, ids, cfg, lcfg,
                                         cache=cache)
         return logits, new_cache

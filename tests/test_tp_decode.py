@@ -159,6 +159,56 @@ def test_paged_batcher_over_tp_mesh():
     assert shard.shape[1] == cfg.num_kv_heads // 2
 
 
+def test_paged_batcher_tp_int8_decode():
+    # int8 decode serving on the tp mesh: row-parallel linears requantize
+    # per K-chunk (each partial dequantized by its chunk-local column scale
+    # before the psum); full loop runs + logits stay in the int8 budget
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    from qlora_tpu.generate.paged import PagedBatcher
+    from qlora_tpu.generate.sampler import SamplingParams
+    from qlora_tpu.parallel.tp_decode import make_tp_mesh
+
+    cfg = CFG
+    params = init_params(jax.random.PRNGKey(0), cfg, quantized=True)
+    mesh = make_tp_mesh(2)
+    b = PagedBatcher(
+        params, None, cfg, num_slots=2, n_pages=64, page_size=8,
+        max_pages_per_seq=8, prefill_buckets=(16,), eos_id=-1,
+        sparams=SamplingParams(temperature=0.0), tp_mesh=mesh,
+        decode_impl="int8",
+    )
+    # the row-parallel serving copy is chunk-quantized + K-sharded
+    wo8 = b.decode_params["blocks"]["wo"].qt
+    assert wo8.quant_type == "int8" and wo8.k_shards == 2
+    assert wo8.packed.addressable_shards[0].data.shape[1] == cfg.hidden_size // 2
+
+    r = b.submit([3, 17, 5, 9], max_new_tokens=5)
+    b.run_to_completion()
+    assert len(r.generated) == 5
+
+    # decode-step logits vs the exact bf16 tp path: int8 noise budget
+    from qlora_tpu.parallel.tp_decode import (
+        make_tp_forward_fn, shard_decode_params, shard_tp_cache,
+    )
+
+    p_tp = shard_decode_params(params, mesh)
+    exact_fn = make_tp_forward_fn(cfg, LCFG, mesh, p_tp, None)
+    int8_fn = make_tp_forward_fn(cfg, LCFG, mesh, b.decode_params, None,
+                                 impl="w8a8")
+    ids = jax.random.randint(jax.random.PRNGKey(2), (2, 8), 0, cfg.vocab_size)
+    c1 = shard_tp_cache(init_cache(cfg, 2, 32), mesh)
+    c2 = shard_tp_cache(init_cache(cfg, 2, 32), mesh)
+    le, c1 = exact_fn(p_tp, None, ids, c1)
+    la, c2 = int8_fn(b.decode_params, None, ids, c2)
+    tok = jnp.argmax(le[:, -1], -1)[:, None].astype(jnp.int32)
+    le, _ = exact_fn(p_tp, None, tok, c1)
+    la, _ = int8_fn(b.decode_params, None, tok, c2)
+    e = np.asarray(le[:, 0], np.float32)
+    a = np.asarray(la[:, 0], np.float32)
+    assert np.abs(a - e).max() / np.abs(e).max() < 0.1
+
+
 def test_tp_decode_no_lora():
     if len(jax.devices()) < 2:
         pytest.skip("needs 2 virtual devices")
