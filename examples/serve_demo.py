@@ -57,7 +57,8 @@ def main():
     ap.add_argument("--tp", type=int, default=1,
                     help="tensor-parallel chips (>1: megatron-sharded "
                          "serving for models bigger than one chip; "
-                         "excludes --decode_impl/--prefill_impl)")
+                         "composes with --decode_impl int8, excludes "
+                         "w8a8/--prefill_impl)")
     ap.add_argument("--temperature", type=float, default=0.7)
     ap.add_argument("--top_p", type=float, default=0.9)
     args = ap.parse_args()
