@@ -80,67 +80,88 @@ def main():
     i8_bytes = K * N + 4 * N
 
     extras = []
+    headline = None
+
+    # every section individually guarded: the relay's compile service can
+    # die mid-bench (observed round 2) and the driver must still get its
+    # one JSON line with whatever was measured before the failure
+    def _guard(name, fn):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001
+            extras.append({"metric": f"{name}_error", "value": 0,
+                           "unit": str(e)[:120], "vs_baseline": 0.0})
+            return None
 
     # 1) headline: int8 serving decode kernel at the M=128 serving batch
-    M = 128
-    base = jax.random.normal(kw, (M, K), dtype=jnp.float32) * 1e-2
+    def _headline():
+        M = 128
+        base = jax.random.normal(kw, (M, K), dtype=jnp.float32) * 1e-2
 
-    def mk_i8(R):
-        def f(c):
-            xf = base * c
-            xs = jnp.max(jnp.abs(xf), axis=1, keepdims=True) / 127.0
-            x8 = jnp.round(xf / xs).astype(jnp.int8)
-            o = i8_direct_repeat(x8, w8, s_out, (K, N), reps=R, tk=2048)
-            return jnp.sum(o.astype(jnp.float32) * xs)
-        return jax.jit(f)
+        def mk_i8(R):
+            def f(c):
+                xf = base * c
+                xs = jnp.max(jnp.abs(xf), axis=1, keepdims=True) / 127.0
+                x8 = jnp.round(xf / xs).astype(jnp.int8)
+                o = i8_direct_repeat(x8, w8, s_out, (K, N), reps=R, tk=2048)
+                return jnp.sum(o.astype(jnp.float32) * xs)
+            return jax.jit(f)
 
-    t = _slope(mk_i8, r1=800, r2=1600, tries=6)
-    head_gbps = i8_bytes / t / 1e9
-    headline = {
-        "metric": "decode_serving_weight_read",
-        "value": round(head_gbps, 1),
-        "unit": "GB/s",
-        "vs_baseline": round(head_gbps / HBM_PEAK_GBPS, 3),
-    }
+        t = _slope(mk_i8, r1=800, r2=1600, tries=6)
+        head_gbps = i8_bytes / t / 1e9
+        return {
+            "metric": "decode_serving_weight_read",
+            "value": round(head_gbps, 1),
+            "unit": "GB/s",
+            "vs_baseline": round(head_gbps / HBM_PEAK_GBPS, 3),
+        }
+
+    headline = _guard("decode_serving", _headline)
 
     # 2) exact NF4 kernel, decode regime M=16 (round-1 compat metric)
-    for M2 in (16, 128):
-        base2 = jax.random.normal(kw, (M2, K), dtype=jnp.float32) * 1e-3
+    def _nf4_decode():
+        for M2 in (16, 128):
+            base2 = jax.random.normal(kw, (M2, K), dtype=jnp.float32) * 1e-3
 
-        def mk_nf4(R, base2=base2, M2=M2):
-            tkp = 2048 if M2 <= 64 else 512
-            return jax.jit(lambda c: jnp.sum(qmm_repeat(
-                (base2 * c).astype(jnp.bfloat16), qt.packed, am,
-                qt.shape, qt.block_size, qt.quant_type, reps=R,
-                tkp_max=tkp).astype(jnp.float32)))
+            def mk_nf4(R, base2=base2, M2=M2):
+                tkp = 2048 if M2 <= 64 else 512
+                return jax.jit(lambda c: jnp.sum(qmm_repeat(
+                    (base2 * c).astype(jnp.bfloat16), qt.packed, am,
+                    qt.shape, qt.block_size, qt.quant_type, reps=R,
+                    tkp_max=tkp).astype(jnp.float32)))
 
-        t2 = _slope(mk_nf4, r1=300, r2=600, tries=6)
-        g2 = nf4_bytes / t2 / 1e9
-        extras.append({
-            "metric": f"nf4_fused_matmul_weight_read_m{M2}",
-            "value": round(g2, 1), "unit": "GB/s",
-            "vs_baseline": round(g2 / HBM_PEAK_GBPS, 3),
-        })
+            t2 = _slope(mk_nf4, r1=300, r2=600, tries=6)
+            g2 = nf4_bytes / t2 / 1e9
+            extras.append({
+                "metric": f"nf4_fused_matmul_weight_read_m{M2}",
+                "value": round(g2, 1), "unit": "GB/s",
+                "vs_baseline": round(g2 / HBM_PEAK_GBPS, 3),
+            })
+
+    _guard("nf4_decode", _nf4_decode)
 
     # 3) training-regime MXU utilisation (M=1024, exact bf16 kernel)
-    M3 = 1024
-    base3 = jax.random.normal(kw, (M3, K), dtype=jnp.float32) * 1e-3
+    def _nf4_train():
+        M3 = 1024
+        base3 = jax.random.normal(kw, (M3, K), dtype=jnp.float32) * 1e-3
 
-    def mk_train(R):
-        # mirror the production large-M tiles (TKp=2048/TN=256 — whole K2
-        # per grid step; measured 0.93 MFU vs 0.81 at TKp=512/TN=512)
-        return jax.jit(lambda c: jnp.sum(qmm_repeat(
-            (base3 * c).astype(jnp.bfloat16), qt.packed, am,
-            qt.shape, qt.block_size, qt.quant_type, reps=R,
-            tkp_max=2048, tn_max=256).astype(jnp.float32)))
+        def mk_train(R):
+            # mirror the production large-M tiles (TKp=2048/TN=256 — whole
+            # K2 per grid step; measured 0.93 MFU vs 0.81 at TKp=512/TN=512)
+            return jax.jit(lambda c: jnp.sum(qmm_repeat(
+                (base3 * c).astype(jnp.bfloat16), qt.packed, am,
+                qt.shape, qt.block_size, qt.quant_type, reps=R,
+                tkp_max=2048, tn_max=256).astype(jnp.float32)))
 
-    t3 = _slope(mk_train, r1=80, r2=160, tries=6)
-    mfu = 2 * M3 * K * N / t3 / (MXU_BF16_TFLOPS * 1e12)
-    extras.append({
-        "metric": "nf4_train_regime_mxu_util_m1024",
-        "value": round(mfu, 3), "unit": "fraction_of_bf16_peak",
-        "vs_baseline": round(mfu, 3),
-    })
+        t3 = _slope(mk_train, r1=80, r2=160, tries=6)
+        mfu = 2 * M3 * K * N / t3 / (MXU_BF16_TFLOPS * 1e12)
+        extras.append({
+            "metric": "nf4_train_regime_mxu_util_m1024",
+            "value": round(mfu, 3), "unit": "fraction_of_bf16_peak",
+            "vs_baseline": round(mfu, 3),
+        })
+
+    _guard("nf4_train", _nf4_train)
 
     # 4) flash attention MFU at the 7B training shape (S=2048, causal).
     # Scan of R serially-dependent calls in one dispatch; slope isolates
@@ -161,6 +182,14 @@ def main():
         extras.append({"metric": "product_metrics_error", "value": 0,
                        "unit": str(e)[:120], "vs_baseline": 0.0})
 
+    if headline is None:
+        # headline failed: promote the best surviving extra so the driver
+        # still records a real measurement
+        real = [e for e in extras if not e["metric"].endswith("_error")]
+        headline = (real[0] if real else
+                    {"metric": "bench_failed", "value": 0, "unit": "",
+                     "vs_baseline": 0.0})
+        extras = [e for e in extras if e is not headline]
     print(json.dumps({**headline, "extra_metrics": extras}))
 
 
