@@ -432,19 +432,22 @@ def train(args: Args) -> dict:
 
                 gmesh = _make_mesh(_MeshAxes(
                     dp=args.mesh_dp, fsdp=args.mesh_fsdp, tp=args.mesh_tp))
-                shardings = _param_shardings(params, gmesh)
-                params = jax.tree_util.tree_map(
-                    jax.device_put, params, shardings)
+                # shard the (possibly checkpoint-RESTORED) trainable tree —
+                # not the fresh init in `params` — so resume keeps weights
+                shardings = _param_shardings(state.trainable, gmesh)
+                tr_sharded = jax.tree_util.tree_map(
+                    jax.device_put, state.trainable, shardings)
                 pspecs = jax.tree_util.tree_map(
                     lambda s: s.spec, shardings,
                     is_leaf=lambda x: isinstance(x, NamedSharding))
-                ospecs = _opt_specs_like(state.opt_state, params, pspecs)
+                ospecs = _opt_specs_like(state.opt_state, tr_sharded, pspecs)
                 opt_sharded = jax.tree_util.tree_map(
                     lambda x, s: jax.device_put(x, NamedSharding(gmesh, s)),
                     state.opt_state, ospecs,
                     is_leaf=lambda x: isinstance(x, _P))
-                state = state.replace(trainable=params,
+                state = state.replace(trainable=tr_sharded,
                                       opt_state=opt_sharded)
+                params = tr_sharded   # frozen arg is ignored in mode="full"
                 base_fn = make_train_step(
                     cfg, lcfg, optimizer,
                     accum_steps=args.gradient_accumulation_steps,

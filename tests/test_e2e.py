@@ -231,6 +231,34 @@ def test_cli_mesh_full_finetune(tmp_path):
     assert losses[-1] < losses[0]
 
 
+def test_cli_mesh_full_finetune_resume(tmp_path):
+    # resume must shard the RESTORED weights, not re-init (regression)
+    import jax as _jax
+    if len(_jax.devices()) < 4:
+        import pytest as _pytest
+        _pytest.skip("needs 4 virtual devices")
+    data = _write_alpaca(tmp_path, n=16)
+    out = str(tmp_path / "mesh_full_resume")
+    base = dict(
+        model_name_or_path="debug", init_random=True, fake_tokenizer=True,
+        dataset=data, output_dir=out, full_finetune=True, bits=16,
+        learning_rate=5e-4, per_device_train_batch_size=4,
+        gradient_accumulation_steps=1, source_max_len=32, target_max_len=16,
+        logging_steps=1, save_steps=2, group_by_length=False,
+        mesh_dp=2, mesh_fsdp=2,
+    )
+    m1 = train(Args(max_steps=2, **base))
+    l1 = [h["loss"] for h in m1["train_metrics"]]
+    os.remove(os.path.join(out, "completed"))
+    m2 = train(Args(max_steps=4, **base))
+    steps = [h["step"] for h in m2["train_metrics"]]
+    l2 = [h["loss"] for h in m2["train_metrics"]]
+    assert steps == [3, 4]
+    # restored weights continue falling from where step 2 left off — a
+    # re-init would jump back to ~l1[0]
+    assert l2[0] < l1[0], (l1, l2)
+
+
 def test_resume_fast_forwards_data():
     from qlora_tpu.cli import _iter_batches
     from qlora_tpu.utils.testing import FakeTokenizer
