@@ -178,11 +178,11 @@ class PagedBatcher:
         self.tp_mesh = tp_mesh
         self._tp_prefill_fn = self._tp_decode_fn = None
         if tp_mesh is not None:
-            if prefill_impl or decode_impl == "w8a8":
+            if decode_impl == "w8a8":
                 raise NotImplementedError(
-                    "in-kernel w8a8 impls are single-chip; tp serving "
-                    "supports decode_impl='int8' (chunk-local per-column "
-                    "requant) or the exact bf16 Pallas kernels")
+                    "decode_impl='w8a8' is single-chip; tp serving supports "
+                    "decode_impl='int8' (chunk-local per-column requant) or "
+                    "the exact bf16 Pallas kernels")
             from jax.sharding import NamedSharding, PartitionSpec as _P
 
             from qlora_tpu.parallel.megatron_step import (
@@ -202,8 +202,10 @@ class PagedBatcher:
             self.params = params = shard_decode_params(params, tp_mesh)
             if lora is not None:
                 self.lora = lora = _put(lora, megatron_lora_specs(lora))
+            # prefill_impl="w8a8" works per-shard too: local_chunk hands the
+            # in-kernel int8 path a self-contained NF4 K-chunk
             self._tp_prefill_fn = make_tp_forward_fn(
-                cfg, self.lcfg, tp_mesh, params, lora)
+                cfg, self.lcfg, tp_mesh, params, lora, impl=prefill_impl)
             self.decode_params = params
             if decode_impl == "int8":
                 # chunk-local per-column int8 serving copy: row-parallel

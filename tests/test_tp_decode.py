@@ -176,7 +176,7 @@ def test_paged_batcher_tp_int8_decode():
         params, None, cfg, num_slots=2, n_pages=64, page_size=8,
         max_pages_per_seq=8, prefill_buckets=(16,), eos_id=-1,
         sparams=SamplingParams(temperature=0.0), tp_mesh=mesh,
-        decode_impl="int8",
+        decode_impl="int8", prefill_impl="w8a8",
     )
     # the row-parallel serving copy is chunk-quantized + K-sharded
     wo8 = b.decode_params["blocks"]["wo"].qt
