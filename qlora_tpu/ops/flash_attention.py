@@ -317,13 +317,17 @@ def _bwd_dkv_kernel(
     jax.jit, static_argnames=("sm_scale", "causal", "block_q", "block_k", "window")
 )
 def _flash_bwd(q, k, v, kv_lengths, o, lse, do, sm_scale, causal, block_q,
-               block_k, window=None):
+               block_k, window=None, dlse=None):
     B, H, Sq, D = q.shape
     Skv = k.shape[2]
     bq = min(block_q, _pick(Sq))
     bk = min(block_k, _pick(Skv))
 
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
+    if dlse is not None:
+        # lse-cotangent folds into the di term: ds = p·(dp − (di − dlse))
+        # (∂lse/∂s_j = p_j) — the kernels stay unchanged
+        di = di - dlse.astype(jnp.float32)
     di = jnp.broadcast_to(di[..., None], (*di.shape, 128))  # lane-broadcast
 
     common_in = [
@@ -444,6 +448,56 @@ def _fa_bwd(sm_scale, causal, block_q, block_k, window, res, do):
 
 
 flash_attention.defvjp(_fa_fwd, _fa_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def flash_attention_lse(
+    q, k, v, kv_lengths, sm_scale=1.0, causal=True, block_q=512,
+    block_k=512, window=None,
+):
+    """flash_attention that ALSO returns lse [B, H, Sq] (m + log l per row;
+    fully-masked rows hold +3e38 — treat as -inf when merging).
+
+    Differentiable in q/k/v INCLUDING the lse output: the lse cotangent
+    folds into the backward kernels' di term (ds = p·(dp − (di − dlse))).
+    Ring attention uses this to merge per-chunk partials exactly.
+    """
+    out, lse = _flash_fwd(q, k, v, kv_lengths, sm_scale, causal, block_q,
+                          block_k, window)
+    return out, lse[..., 0]
+
+
+def _fal_fwd(q, k, v, kv_lengths, sm_scale, causal, block_q, block_k, window):
+    out, lse = _flash_fwd(q, k, v, kv_lengths, sm_scale, causal, block_q,
+                          block_k, window)
+    return (out, lse[..., 0]), (q, k, v, kv_lengths, out, lse)
+
+
+def _fal_bwd(sm_scale, causal, block_q, block_k, window, res, cts):
+    do, dlse = cts
+    q, k, v, kv_lengths, o, lse = res
+    H = q.shape[1]
+    KVH = k.shape[1]
+    if KVH != H:
+        G = H // KVH
+        kr = jnp.repeat(k, G, axis=1)
+        vr = jnp.repeat(v, G, axis=1)
+        dq, dkr, dvr = _flash_bwd(
+            q, kr, vr, kv_lengths, o, lse, do, sm_scale, causal,
+            block_q, block_k, window, dlse=dlse,
+        )
+        B, _, Skv, D = k.shape
+        dk = dkr.reshape(B, KVH, G, Skv, D).sum(axis=2).astype(k.dtype)
+        dv = dvr.reshape(B, KVH, G, Skv, D).sum(axis=2).astype(v.dtype)
+        return dq, dk, dv, None
+    dq, dk, dv = _flash_bwd(
+        q, k, v, kv_lengths, o, lse, do, sm_scale, causal, block_q, block_k,
+        window, dlse=dlse,
+    )
+    return dq, dk, dv, None
+
+
+flash_attention_lse.defvjp(_fal_fwd, _fal_bwd)
 
 
 def attention_reference(q, k, v, kv_lengths, sm_scale=1.0, causal=True,

@@ -20,8 +20,9 @@ def mesh():
     return Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("sp",))
 
 
+@pytest.mark.parametrize("impl", ["flash", "jnp"])
 @pytest.mark.parametrize("causal", [True, False])
-def test_ring_matches_reference(mesh, causal):
+def test_ring_matches_reference(mesh, causal, impl):
     B, H, S, D = 2, 2, 256, 64
     ks = jax.random.split(jax.random.PRNGKey(0), 3)
     q = jax.random.normal(ks[0], (B, H, S, D), jnp.float32)
@@ -31,7 +32,7 @@ def test_ring_matches_reference(mesh, causal):
 
     f = shard_map(
         functools.partial(ring_attention, axis_name="sp", sm_scale=sm,
-                          causal=causal),
+                          causal=causal, impl=impl),
         mesh=mesh,
         in_specs=(P(None, None, "sp", None),) * 3,
         out_specs=P(None, None, "sp", None),
@@ -45,7 +46,8 @@ def test_ring_matches_reference(mesh, causal):
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
 
 
-def test_ring_grads_flow(mesh):
+@pytest.mark.parametrize("impl", ["flash", "jnp"])
+def test_ring_grads_flow(mesh, impl):
     B, H, S, D = 1, 1, 128, 64
     ks = jax.random.split(jax.random.PRNGKey(1), 3)
     q = jax.random.normal(ks[0], (B, H, S, D), jnp.float32)
@@ -55,7 +57,8 @@ def test_ring_grads_flow(mesh):
 
     def loss(q, k, v):
         f = shard_map(
-            functools.partial(ring_attention, axis_name="sp", sm_scale=sm),
+            functools.partial(ring_attention, axis_name="sp", sm_scale=sm,
+                              impl=impl),
             mesh=mesh,
             in_specs=(P(None, None, "sp", None),) * 3,
             out_specs=P(None, None, "sp", None),
