@@ -331,6 +331,15 @@ def train(args: Args) -> dict:
         logger.warning("fp16 unsupported on TPU; using bf16 compute "
                        "(the reference's own XPU path does the same)")
     opt_name = "adam8bit" if args.adam8bit else args.optim
+    if (opt_name in ("adam8bit", "paged_adamw_8bit")
+            and args.tp_style == "megatron" and args.mesh_tp > 1):
+        # _opt_specs_like only matches adamw-family state leaves against the
+        # tp-sharded trainable; blockwise-quantized 8-bit state would stay
+        # replicated while grads are tp-local and fail at trace time
+        raise ValueError(
+            "adam8bit does not compose with tp_style=megatron "
+            "(8-bit blockwise optimizer state cannot be suffix-matched to "
+            "tp-sharded params); use tp_style=gather or a 32-bit optimizer")
     if args.optim_host_offload and (
         args.mesh_dp * args.mesh_fsdp * args.mesh_tp * args.mesh_sp > 1
     ):

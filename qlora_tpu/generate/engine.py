@@ -183,75 +183,6 @@ def generate(
     return toks
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "cfg", "lcfg", "max_new_tokens", "eos_id", "num_beams", "length_penalty"
-    ),
-)
-def _beam_loop(
-    params, lora, first_logits, cache, *,
-    cfg, lcfg, max_new_tokens, eos_id, num_beams, length_penalty,
-):
-    """Batched beam search over a [B*k]-row KV cache (HF-style reordering)."""
-    Bk = first_logits.shape[0]
-    k = num_beams
-    B = Bk // k
-    V = cfg.vocab_size
-    NEG = jnp.float32(-1e30)
-
-    def step(state):
-        t, logits, cache, scores, done, out = state
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        logp = logp.reshape(B, k, V)
-        # finished beams may only extend with eos at zero cost
-        eos_only = jnp.where(jnp.arange(V)[None, None, :] == eos_id, 0.0, NEG)
-        logp = jnp.where(done[:, :, None], eos_only, logp)
-        total = scores[:, :, None] + logp                     # [B, k, V]
-        flat = total.reshape(B, k * V)
-        new_scores, idx = jax.lax.top_k(flat, k)              # [B, k]
-        src_beam = idx // V                                   # [B, k]
-        tok = idx % V
-
-        # reorder everything beam-wise
-        gather_rows = (jnp.arange(B)[:, None] * k + src_beam).reshape(-1)
-        cache = {
-            "k": cache["k"][:, gather_rows],
-            "v": cache["v"][:, gather_rows],
-            "length": cache["length"][gather_rows],
-        }
-        out = out[jnp.arange(B)[:, None], src_beam]           # [B, k, T]
-        done = done[jnp.arange(B)[:, None], src_beam]
-        out = out.at[:, :, t].set(tok)
-        done = done | (tok == eos_id)
-
-        new_logits, cache = forward(
-            params, lora, tok.reshape(-1)[:, None], cfg, lcfg, cache=cache
-        )
-        return (t + 1, new_logits[:, 0], cache, new_scores, done, out)
-
-    def cond(state):
-        t, _, _, _, done, _ = state
-        return (t < max_new_tokens) & ~jnp.all(done)
-
-    out = jnp.full((B, k, max_new_tokens), eos_id, jnp.int32)
-    scores = jnp.tile(
-        jnp.concatenate([jnp.zeros((1,)), jnp.full((k - 1,), NEG)])[None, :],
-        (B, 1),
-    ).astype(jnp.float32)
-    state = (
-        jnp.int32(0), first_logits, cache, scores,
-        jnp.zeros((B, k), bool), out,
-    )
-    _, _, _, scores, done, out = jax.lax.while_loop(cond, step, state)
-
-    # length-normalized selection (HF length_penalty semantics, default 1.0)
-    lengths = jnp.sum(out != eos_id, axis=-1).astype(jnp.float32) + 1.0
-    norm = scores / (lengths ** length_penalty)
-    best = jnp.argmax(norm, axis=1)
-    return out[jnp.arange(B), best]
-
-
 def beam_search(
     params, lora, ids, lengths, cfg, lcfg=LoraConfig(), *,
     max_new_tokens=256, eos_id=2, num_beams=4, max_len=None,
@@ -270,10 +201,16 @@ def beam_search(
         "length": jnp.repeat(cache["length"], k),
     }
     first = jnp.repeat(last_logits, k, axis=0)
-    return _beam_loop(
+    # single-group diverse beam loop == plain beam search, with EOS-time
+    # hypothesis finalization (HF BeamSearchScorer semantics — finished
+    # beams leave the live set and bank their score at EOS time)
+    from qlora_tpu.generate.search import _group_beam_loop
+
+    return _group_beam_loop(
         params, lora, first, cache,
         cfg=cfg, lcfg=lcfg, max_new_tokens=max_new_tokens,
-        eos_id=eos_id, num_beams=k, length_penalty=length_penalty,
+        eos_id=eos_id, num_beams=k, num_beam_groups=1,
+        diversity_penalty=0.0, length_penalty=length_penalty,
     )
 
 

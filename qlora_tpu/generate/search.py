@@ -43,70 +43,126 @@ def _group_beam_loop(
     cfg, lcfg, max_new_tokens, eos_id, num_beams, num_beam_groups,
     diversity_penalty, length_penalty,
 ):
+    """Diverse beam search with EOS-time hypothesis finalization.
+
+    HF BeamSearchScorer semantics: each step takes 2·kg candidates per
+    group; candidates that emit EOS are FINALIZED immediately (score
+    length-normalized at that moment and banked), and the kg continuing
+    beams are refilled from the non-EOS candidates, so finished beams never
+    linger in the live set re-emitting EOS.  A group is done when its best
+    banked hypothesis can no longer be beaten by any live beam
+    (non-early-stopping heuristic).  Known divergence from HF: the
+    normalization base is the GENERATED length (t+1 tokens incl. the EOS),
+    not HF's full-sequence length (prompt + generated) — with a shared
+    prompt length this is a monotone transform at fixed t but weighs
+    length_penalty≠1.0 slightly differently.
+    """
     Bk = first_logits.shape[0]
     k = num_beams
     B = Bk // k
     G = num_beam_groups
     kg = k // G
     V = cfg.vocab_size
+    T = max_new_tokens
+    n_cand = min(2 * kg, kg * V)   # ≥ kg non-EOS survive (≤ kg can be EOS)
 
     def step(state):
-        t, logits, cache, scores, done, out = state
+        t, logits, cache, scores, gdone, fin_sc, fin_out, out = state
         logp_all = jax.nn.log_softmax(
             logits.astype(jnp.float32), axis=-1
         ).reshape(B, k, V)
-        eos_only = jnp.where(jnp.arange(V)[None, None, :] == eos_id, 0.0, NEG)
+        tf = (t + 1).astype(jnp.float32)          # generated length incl. eos
 
         counts = jnp.zeros((B, V), jnp.float32)   # tokens chosen this step
         toks = jnp.zeros((B, k), jnp.int32)
         srcs = jnp.zeros((B, k), jnp.int32)
         new_scores = jnp.zeros((B, k), jnp.float32)
+        rows = jnp.arange(B)
         for g in range(G):                        # static loop: groups in order
             sl = slice(g * kg, (g + 1) * kg)
             lp = logp_all[:, sl]
             if diversity_penalty > 0.0 and g > 0:
                 lp = lp - diversity_penalty * counts[:, None, :]
-            lp = jnp.where(done[:, sl, None], eos_only, lp)
             total = scores[:, sl, None] + lp      # [B, kg, V]
-            sc_g, idx = jax.lax.top_k(total.reshape(B, kg * V), kg)
-            src_g = g * kg + idx // V             # beams stay inside the group
-            tok_g = idx % V
+            sc2, idx2 = jax.lax.top_k(total.reshape(B, kg * V), n_cand)
+            src2 = g * kg + idx2 // V             # beams stay inside the group
+            tok2 = idx2 % V
+            is_eos = tok2 == eos_id
+
+            # finalize the best EOS candidate this step (running max over
+            # steps ⇒ overall best finished hypothesis per group); done
+            # groups stop banking, matching HF's `if beam_hyps.is_done`
+            cand = jnp.where(is_eos, sc2 / tf ** length_penalty, -jnp.inf)
+            bc = jnp.argmax(cand, axis=1)                       # [B]
+            bsc = jnp.where(gdone[:, g], -jnp.inf, cand[rows, bc])
+            cand_out = out[rows, src2[rows, bc]].at[:, t].set(eos_id)
+            better = bsc > fin_sc[:, g]
+            fin_out = fin_out.at[:, g].set(
+                jnp.where(better[:, None], cand_out, fin_out[:, g]))
+            fin_sc = fin_sc.at[:, g].set(jnp.where(better, bsc, fin_sc[:, g]))
+
+            # continuing beams: best kg non-EOS candidates
+            sc_cont = jnp.where(is_eos, NEG, sc2)
+            sc_g, pick = jax.lax.top_k(sc_cont, kg)             # [B, kg]
+            tok_g = jnp.take_along_axis(tok2, pick, axis=1)
+            src_g = jnp.take_along_axis(src2, pick, axis=1)
             counts = counts + jax.nn.one_hot(tok_g, V, dtype=jnp.float32).sum(1)
             toks = toks.at[:, sl].set(tok_g)
             srcs = srcs.at[:, sl].set(src_g)
             new_scores = new_scores.at[:, sl].set(sc_g)
 
-        gather_rows = (jnp.arange(B)[:, None] * k + srcs).reshape(-1)
+            # non-early-stopping done check: live scores only decrease and
+            # (for length_penalty ≥ 0) the normalizer only grows, so the
+            # best attainable future hypothesis is max(live)/tf^lp
+            attain = jnp.max(sc_g, axis=1) / (
+                tf ** length_penalty if length_penalty >= 0.0
+                else jnp.float32(T) ** length_penalty)
+            gdone = gdone.at[:, g].set(gdone[:, g] | (fin_sc[:, g] >= attain))
+
+        gather_rows = (rows[:, None] * k + srcs).reshape(-1)
         cache = {
             "k": cache["k"][:, gather_rows],
             "v": cache["v"][:, gather_rows],
             "length": cache["length"][gather_rows],
         }
-        out = out[jnp.arange(B)[:, None], srcs]
-        done = done[jnp.arange(B)[:, None], srcs]
+        out = out[rows[:, None], srcs]
         out = out.at[:, :, t].set(toks)
-        done = done | (toks == eos_id)
         new_logits, cache = forward(
             params, lora, toks.reshape(-1)[:, None], cfg, lcfg, cache=cache
         )
-        return (t + 1, new_logits[:, 0], cache, new_scores, done, out)
+        return (t + 1, new_logits[:, 0], cache, new_scores, gdone, fin_sc,
+                fin_out, out)
 
     def cond(state):
-        t, _, _, _, done, _ = state
-        return (t < max_new_tokens) & ~jnp.all(done)
+        t = state[0]
+        gdone = state[4]
+        return (t < T) & ~jnp.all(gdone)
 
-    out = jnp.full((B, k, max_new_tokens), eos_id, jnp.int32)
+    out = jnp.full((B, k, T), eos_id, jnp.int32)
     # one live beam per group at t=0 (all groups share the same prefix)
     init = jnp.full((k,), NEG).at[jnp.arange(0, k, kg)].set(0.0)
     scores = jnp.tile(init[None, :], (B, 1)).astype(jnp.float32)
     state = (jnp.int32(0), first_logits, cache, scores,
-             jnp.zeros((B, k), bool), out)
-    _, _, _, scores, done, out = jax.lax.while_loop(cond, step, state)
+             jnp.zeros((B, G), bool),
+             jnp.full((B, G), -jnp.inf, jnp.float32),
+             jnp.full((B, G, T), eos_id, jnp.int32), out)
+    _, _, _, scores, _, fin_sc, fin_out, out = jax.lax.while_loop(
+        cond, step, state)
 
+    # groups with no finished hypothesis fall back to their best live beam,
+    # normalized by its generated length
     lengths = jnp.sum(out != eos_id, axis=-1).astype(jnp.float32) + 1.0
-    norm = scores / (lengths ** length_penalty)
-    best = jnp.argmax(norm, axis=1)
-    return out[jnp.arange(B), best]
+    norm = (scores / (lengths ** length_penalty)).reshape(B, G, kg)
+    live_best = jnp.argmax(norm, axis=2)                        # [B, G]
+    rows = jnp.arange(B)[:, None]
+    live_sc = jnp.take_along_axis(norm, live_best[..., None], 2)[..., 0]
+    live_out = out.reshape(B, G, kg, T)[rows, jnp.arange(G)[None, :],
+                                        live_best]              # [B, G, T]
+    use_fin = fin_sc > live_sc
+    g_sc = jnp.where(use_fin, fin_sc, live_sc)                  # [B, G]
+    g_out = jnp.where(use_fin[..., None], fin_out, live_out)    # [B, G, T]
+    best_g = jnp.argmax(g_sc, axis=1)
+    return g_out[jnp.arange(B), best_g]
 
 
 def group_beam_search(

@@ -126,14 +126,23 @@ def _fwd_kernel(
 
     @pl.when(ki == pl.num_programs(3) - 1)
     def _():
-        o_ref[0, 0] = acc_scr[:].astype(o_ref.dtype)          # already l-normed
+        # Fully-masked (empty) row detection: masking is ADDITIVE
+        # (s + MASK), so even an empty row has l >= 1 (its own max
+        # exponentiates to 1) and acc holds a garbage softmax of the masked
+        # scores.  The reliable signature is the running max sitting at the
+        # mask floor: real scores satisfy |s| << |MASK|/2, so
+        # m <= MASK/2 <=> no unmasked column was ever seen.  Empty rows
+        # emit o = 0 and lse = +3e38 (the documented sentinel; backward's
+        # exp(s - lse) then underflows to 0, giving exact zero grads).
+        empty = m_scr[:] <= DEFAULT_MASK_VALUE * 0.5          # [bq, 128]
+        o_ref[0, 0] = jnp.where(
+            _lane_rep(empty, acc_scr.shape[1]), 0.0, acc_scr[:]
+        ).astype(o_ref.dtype)
         # single FlashAttention-2-style residual: lse = m + log(l) — halves
         # the stats HBM traffic vs separate l/m (the [B,H,S,128] f32 writes
-        # were ~30% of fwd kernel time at S=2048).  Fully-masked rows
-        # (l == 0) store +BIG so backward's exp(s - lse) underflows to 0.
-        l = l_scr[:]
+        # were ~30% of fwd kernel time at S=2048).
         lse_ref[0, 0] = jnp.where(
-            l == 0.0, 3e38, m_scr[:] + jnp.log(l)
+            empty, 3e38, m_scr[:] + jnp.log(l_scr[:])
         )
 
 

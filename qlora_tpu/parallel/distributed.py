@@ -72,14 +72,29 @@ def make_global_mesh(axes: MeshAxes) -> Mesh:
     n = axes.dp * axes.fsdp * axes.tp
     if n > len(devices):
         raise ValueError(f"mesh {axes} needs {n} devices, have {len(devices)}")
-    n_proc = jax.process_count()
-    local = len(devices) // n_proc
-    if n_proc > 1 and axes.fsdp * axes.tp <= local and axes.dp % n_proc == 0:
-        # [proc, local] ordering puts consecutive devices of one process
-        # together → reshape makes dp-major cross processes, fsdp/tp local
-        arr = np.asarray(devices[:n]).reshape(axes.dp, axes.fsdp, axes.tp)
-    else:
-        arr = np.asarray(devices[:n]).reshape(axes.dp, axes.fsdp, axes.tp)
+    # jax.devices() is ordered by process, so a dp-major reshape IS the
+    # DCN-aware layout in the regular regime (fsdp*tp divides the local
+    # device count and dp covers whole processes): each dp slice is one
+    # process's chips and fsdp/tp collectives ride ICI.  In the irregular
+    # regime no relabeling can avoid cross-process fsdp/tp groups (a group
+    # larger than a host physically spans hosts), so warn instead of
+    # silently shipping weight-gathers over DCN.
+    arr = np.asarray(devices[:n]).reshape(axes.dp, axes.fsdp, axes.tp)
+    if jax.process_count() > 1:
+        procs = np.asarray([d.process_index for d in devices[:n]]).reshape(
+            axes.dp, axes.fsdp, axes.tp
+        )
+        spans = any(len(np.unique(procs[d])) > 1 for d in range(axes.dp))
+        if spans:
+            import warnings
+
+            warnings.warn(
+                f"mesh {axes}: fsdp×tp groups span multiple processes — "
+                "weight-gather/psum collectives will cross DCN (slow). "
+                "Prefer fsdp*tp ≤ local device count with dp a multiple of "
+                "the process count.",
+                stacklevel=2,
+            )
     return Mesh(arr, ("dp", "fsdp", "tp"))
 
 

@@ -35,13 +35,27 @@ def _cpu_identity() -> str:
     return "\n".join(ident)
 
 
-def cache_dir(base: str = "/tmp/jax_cache") -> str:
+def cache_dir(base: str = "/tmp/jax_cache", backend: str = "cpu") -> str:
     try:
         import jaxlib
 
         ver = getattr(jaxlib, "__version__", "?")
     except Exception:  # pragma: no cover - jaxlib always present
         ver = "?"
+    if backend != "cpu":
+        # TPU executables do not encode host-CPU features, so keying by CPU
+        # identity would only throw the cache away on every driver host
+        # migration (observed round 2: fleet boxes rotate mid-round).  Key
+        # by accelerator kind + jaxlib instead — portable across hosts,
+        # still invalidated by toolchain or hardware changes.
+        try:
+            import jax
+
+            kind = jax.devices()[0].device_kind
+        except Exception:  # pragma: no cover - device probe race
+            kind = backend
+        h = hashlib.md5(f"dev={kind}|jaxlib={ver}".encode()).hexdigest()[:10]
+        return f"{base}-{h}"
     h = hashlib.md5(f"{_cpu_identity()}|jaxlib={ver}".encode()).hexdigest()[:10]
     return f"{base}-{h}"
 
@@ -63,7 +77,9 @@ def enable(jax_module, min_compile_secs: float = 1.0) -> None:
         # executables.  Tests pay a cold compile instead of dying randomly;
         # the TPU cache (where recompiles cost 20-40 s each) stays on.
         return
-    jax_module.config.update("jax_compilation_cache_dir", cache_dir())
+    jax_module.config.update(
+        "jax_compilation_cache_dir", cache_dir(backend=backend)
+    )
     jax_module.config.update(
         "jax_persistent_cache_min_compile_time_secs", min_compile_secs
     )

@@ -36,8 +36,11 @@ def _drop_compiled_programs_per_module():
     run accumulates >65k maps and SEGFAULTS at the kernel's
     vm.max_map_count ceiling (measured: maps grow 4.7k→65.1k, crash at the
     65530 limit inside the next compile's cache read).  Dropping compiled
-    programs between modules bounds the map count; the persistent compile
-    cache makes any cross-module recompile a fast disk hit."""
+    programs between modules bounds the map count.  NOTE: re-JITs after a
+    clear are COLD compiles — the persistent compile cache is deliberately
+    disabled on the CPU backend (AOT reloads SIGABRT on this host class,
+    see compile_cache.py) — so the suite trades compile time for not dying
+    at the map ceiling."""
     yield
     gc.collect()
     jax.clear_caches()
@@ -57,7 +60,8 @@ def _bound_map_count_per_test():
     modules (sharded/megatron/sp/e2e) individually compile enough XLA:CPU
     executables to cross the vm.max_map_count ceiling MID-module.  Clear
     eagerly whenever the map count nears the kernel limit (65530 default);
-    the persistent compile cache keeps the re-JITs cheap."""
+    re-JITs after a clear are cold compiles (CPU persistent cache disabled,
+    see above) — the time cost is the price of staying under the limit."""
     yield
     if _n_maps() > 45_000:
         gc.collect()

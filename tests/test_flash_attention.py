@@ -138,3 +138,33 @@ def test_sliding_window_grads():
     for a, b in zip(g, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-2, rtol=5e-2)
+
+
+def test_fully_masked_rows_emit_sentinel_and_zero_output():
+    """kv_lengths == 0 rows: documented +3e38 lse sentinel, zero output,
+    zero grads (round-2 advisor: the l==0 sentinel was dead code under
+    additive masking; emptiness is now detected via the mask-floor max)."""
+    from qlora_tpu.ops.flash_attention import flash_attention_lse
+
+    B, H, S, D = 2, 1, 128, 128
+    q, k, v = _mk(11, B, H, S, S, D)
+    lengths = jnp.asarray([S, 0], jnp.int32)   # batch 1 fully masked
+    sm = 1.0 / np.sqrt(D)
+
+    out, lse = flash_attention_lse(q, k, v, lengths, sm, False)
+    assert np.all(np.asarray(lse)[1] > 1e37), "empty rows must hold +BIG lse"
+    assert np.abs(np.asarray(out)[1]).max() == 0, "empty rows must output 0"
+    # non-empty batch element unaffected
+    want = attention_reference(q[:1], k[:1], v[:1], lengths[:1], sm, False)
+    np.testing.assert_allclose(np.asarray(out)[:1], np.asarray(want),
+                               atol=2e-3, rtol=2e-3)
+
+    def f(q, k, v):
+        o, _ = flash_attention_lse(q, k, v, lengths, sm, False)
+        return jnp.sum(o ** 2)
+
+    gq, gk, gv = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    for g in (gq, gk, gv):
+        arr = np.asarray(g)[1]
+        assert np.isfinite(np.asarray(g)).all()
+        assert np.abs(arr).max() == 0, "empty batch element must get 0 grads"

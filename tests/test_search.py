@@ -82,6 +82,82 @@ def test_contrastive_runs_and_penalizes_degeneration(setup):
     assert ((arr >= 0) & (arr < cfg.vocab_size)).all()
 
 
+def test_eos_finalization_matches_python_reference(setup):
+    """EOS-time hypothesis finalization (HF BeamSearchScorer semantics)
+    against a brute-force Python reference: candidates that emit EOS are
+    banked with the score normalized at that moment, continuing beams are
+    refilled from non-EOS candidates, and the loop stops when the banked
+    best cannot be beaten (round-2 advisor fix — finished beams used to
+    linger in the live set re-emitting EOS at zero cost)."""
+    from qlora_tpu.models.transformer import forward
+
+    cfg, params, ids, lengths = setup
+    k, T = 3, 6
+    prompt = ids[:1]
+    plen = int(lengths[0])
+    # choose eos = the greedy 2nd token so hypotheses actually finish early
+    greedy = generate(params, None, prompt, lengths[:1], cfg,
+                      max_new_tokens=2, eos_id=-1, sparams=SamplingParams())
+    eos = int(np.asarray(greedy)[0, 1])
+
+    got = np.asarray(beam_search(params, None, prompt, lengths[:1], cfg,
+                                 num_beams=k, max_new_tokens=T,
+                                 eos_id=eos))[0]
+
+    def logp_of(toks):
+        full = jnp.asarray(
+            [list(np.asarray(prompt[0, :plen])) + toks], jnp.int32)
+        lg, _ = forward(params, None, full, cfg)
+        return np.asarray(jax.nn.log_softmax(lg[0, -1].astype(jnp.float32)))
+
+    live = [(np.float32(0.0), [])]          # (raw score, generated tokens)
+    fin_sc, fin_toks = -np.inf, None
+    t_final = T
+    for t in range(T):
+        cands = []
+        for bi, (sc, toks) in enumerate(live):
+            lp = logp_of(toks)
+            for v in range(cfg.vocab_size):
+                cands.append((np.float32(sc + lp[v]), bi, v))
+        # top-2k candidates, ties broken by flat (beam, token) index like
+        # lax.top_k
+        cands.sort(key=lambda c: (-c[0], c[1] * cfg.vocab_size + c[2]))
+        top = cands[:2 * k]
+        tf = np.float32(t + 1)
+        eos_top = [c for c in top if c[2] == eos]
+        if eos_top:                         # bank the best EOS candidate
+            sc, bi, _ = eos_top[0]
+            banked = sc / tf
+            if banked > fin_sc:
+                fin_sc, fin_toks = banked, live[bi][1] + [eos]
+        live = [(sc, live[bi][1] + [v])
+                for sc, bi, v in top if v != eos][:k]
+        if fin_sc >= max(sc for sc, _ in live) / tf:
+            t_final = t + 1                 # group done: banked unbeatable
+            break
+
+    best_live_sc, best_live_toks = max(live, key=lambda x: x[0])
+    if fin_sc > best_live_sc / np.float32(t_final + 1):
+        want = fin_toks
+    else:
+        want = best_live_toks
+    want = (want + [eos] * T)[:T]
+    np.testing.assert_array_equal(got, np.asarray(want, np.int32))
+
+
+def test_eos_output_padded_after_first_eos(setup):
+    cfg, params, ids, lengths = setup
+    greedy = generate(params, None, ids, lengths, cfg, max_new_tokens=3,
+                      eos_id=-1, sparams=SamplingParams())
+    eos = int(np.asarray(greedy)[0, 2])
+    out = np.asarray(beam_search(params, None, ids, lengths, cfg,
+                                 num_beams=4, max_new_tokens=8, eos_id=eos))
+    for row in out:
+        pos = np.where(row == eos)[0]
+        if pos.size:
+            assert (row[pos[0]:] == eos).all(), "output must be eos-padded"
+
+
 def test_generate_dispatches_search_variants(setup):
     cfg, params, ids, lengths = setup
     g = generate(params, None, ids, lengths, cfg, max_new_tokens=4, eos_id=-1,
