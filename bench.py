@@ -19,6 +19,7 @@ isolates device time from RPC overhead (docs/DESIGN.md §6).
 
 import json
 import sys
+import threading
 import time
 import os
 
@@ -33,6 +34,54 @@ import jax.numpy as jnp
 
 HBM_PEAK_GBPS = 819.0      # TPU v5e
 MXU_BF16_TFLOPS = 197.0    # TPU v5e chip peak (bf16)
+
+# ---- deadline watchdog -----------------------------------------------------
+# The driver runs bench.py under an external timeout (round 2: rc=124, the
+# JSON line never printed and the whole round's perf work went unrecorded).
+# Sections publish results into _RESULTS as they finish; a watchdog thread
+# emits the one JSON line with whatever has been measured when the budget
+# expires and hard-exits.  Order of battle (microkernels → flash → product)
+# puts the cheap high-value metrics first.
+_DEADLINE = float(os.environ.get("QLORA_BENCH_DEADLINE", "1140"))  # 19 min
+_T0 = time.time()
+_RESULTS = {"headline": None, "extras": []}
+_EMIT_LOCK = threading.Lock()
+_EMITTED = False
+
+
+def _emit():
+    """Print the single driver-facing JSON line (idempotent)."""
+    global _EMITTED
+    with _EMIT_LOCK:
+        if _EMITTED:
+            return
+        _EMITTED = True
+        headline, extras = _RESULTS["headline"], list(_RESULTS["extras"])
+        if headline is None:
+            # headline failed/never ran: promote the best surviving extra so
+            # the driver still records a real measurement
+            real = [e for e in extras if not e["metric"].endswith("_error")]
+            headline = (real[0] if real else
+                        {"metric": "bench_failed", "value": 0, "unit": "",
+                         "vs_baseline": 0.0})
+            extras = [e for e in extras if e is not headline]
+        print(json.dumps({**headline, "extra_metrics": extras}), flush=True)
+
+
+def _watchdog():
+    _emit()
+    sys.stderr.write(f"bench watchdog: deadline {_DEADLINE:.0f}s hit, "
+                     "emitted partial results\n")
+    os._exit(0)
+
+
+def _remaining():
+    return _DEADLINE - (time.time() - _T0)
+
+
+def _log(msg):
+    sys.stderr.write(f"[bench +{time.time() - _T0:6.1f}s] {msg}\n")
+    sys.stderr.flush()
 
 
 def _slope(make_fn, r1=8, r2=56, tries=8):
@@ -65,6 +114,10 @@ def main():
     from qlora_tpu.quant import quantize
     from qlora_tpu.quant.blockwise import absmax_f32, dequantize
 
+    wd = threading.Timer(_DEADLINE, _watchdog)
+    wd.daemon = True
+    wd.start()
+
     K, N = 4096, 4096
     kw = jax.random.PRNGKey(1)
     w = jax.random.normal(kw, (K, N), dtype=jnp.float32) * 0.05
@@ -79,16 +132,20 @@ def main():
     s_out = (col / 127.0).reshape(1, N)
     i8_bytes = K * N + 4 * N
 
-    extras = []
-    headline = None
+    extras = _RESULTS["extras"]   # sections publish as they finish so the
+    # watchdog can emit partial results at the deadline
 
     # every section individually guarded: the relay's compile service can
     # die mid-bench (observed round 2) and the driver must still get its
     # one JSON line with whatever was measured before the failure
     def _guard(name, fn):
+        _log(f"section {name} start")
         try:
-            return fn()
+            r = fn()
+            _log(f"section {name} done")
+            return r
         except Exception as e:  # noqa: BLE001
+            _log(f"section {name} FAILED: {e}")
             extras.append({"metric": f"{name}_error", "value": 0,
                            "unit": str(e)[:120], "vs_baseline": 0.0})
             return None
@@ -116,7 +173,7 @@ def main():
             "vs_baseline": round(head_gbps / HBM_PEAK_GBPS, 3),
         }
 
-    headline = _guard("decode_serving", _headline)
+    _RESULTS["headline"] = _guard("decode_serving", _headline)
 
     # 2) exact NF4 kernel, decode regime M=16 (round-1 compat metric)
     def _nf4_decode():
@@ -166,31 +223,21 @@ def main():
     # 4) flash attention MFU at the 7B training shape (S=2048, causal).
     # Scan of R serially-dependent calls in one dispatch; slope isolates
     # device time (same rationale as _scan_slope).
-    try:
-        extras.extend(_flash_metrics())
-    except Exception as e:  # noqa: BLE001
-        extras.append({"metric": "flash_metrics_error", "value": 0,
-                       "unit": str(e)[:120], "vs_baseline": 0.0})
+    _guard("flash_metrics", lambda: extras.extend(_flash_metrics()))
 
     # 5+6) PRODUCT metrics (BASELINE.json headline: "NF4 decode tokens/s/chip
-    # and finetune step-time at 7B"): full 7B-class model, one jit'd scan of
+    # and finetune step-time at 7B"): full 7B-class model, one jit'd loop of
     # R steps — slope isolates device time.  Guarded: a failure here must
-    # not kill the microkernel metrics.
-    try:
-        extras.extend(_product_metrics())
-    except Exception as e:  # noqa: BLE001
-        extras.append({"metric": "product_metrics_error", "value": 0,
-                       "unit": str(e)[:120], "vs_baseline": 0.0})
+    # not kill the microkernel metrics.  Skipped outright if the remaining
+    # budget can't cover the two 7B compiles (observed ~3 min warm / ~8 min
+    # cold each) — a partial line beats a timeout with no line.
+    if _remaining() > float(os.environ.get("QLORA_BENCH_PRODUCT_MIN", "300")):
+        _guard("product_metrics", lambda: extras.extend(_product_metrics()))
+    else:
+        _log("skipping product metrics: insufficient budget remaining")
 
-    if headline is None:
-        # headline failed: promote the best surviving extra so the driver
-        # still records a real measurement
-        real = [e for e in extras if not e["metric"].endswith("_error")]
-        headline = (real[0] if real else
-                    {"metric": "bench_failed", "value": 0, "unit": "",
-                     "vs_baseline": 0.0})
-        extras = [e for e in extras if e is not headline]
-    print(json.dumps({**headline, "extra_metrics": extras}))
+    wd.cancel()
+    _emit()
 
 
 def _scan_slope(mk, r1, r2, tries=4):
@@ -255,14 +302,17 @@ def _flash_metrics():
     bwd_flops = 7 * (2 * S * S * D) * Bq * Hq * run_frac
 
     def mk_fwd(R):
-        def f(c):
+        # q0/k0/v0 as jit args (96 MB of bf16) keeps the remote-compile
+        # payload to the HLO alone — same fix as the product section
+        def f(q0, k0, v0, c):
             def body(s, _):
                 o = flash_attention(q0 * s.astype(q0.dtype), k0, v0, lens,
                                     sm_scale=scale, causal=True)
                 return s + jnp.sum(o[0, 0, 0, :8].astype(jnp.float32)) * 1e-30, ()
             s, _ = jax.lax.scan(body, c, None, length=R)
             return s
-        return jax.jit(f)
+        jf = jax.jit(f)
+        return lambda c: jf(q0, k0, v0, c)
 
     t_f = _slope(mk_fwd, r1=48, r2=144, tries=5)  # ~1 ms/call: r1 well > floor
     out = [{
@@ -278,7 +328,7 @@ def _flash_metrics():
         ).astype(jnp.float32) * 1e-3)
 
     def mk_train(R):
-        def f(c):
+        def f(q0, k0, v0, c):
             def body(s, _):
                 # grads w.r.t. all three operands — otherwise XLA DCEs the
                 # whole dkv kernel and the MFU denominator overcounts
@@ -288,7 +338,8 @@ def _flash_metrics():
                 return s + jnp.sum(probe.astype(jnp.float32)) * 1e-30, ()
             s, _ = jax.lax.scan(body, c, None, length=R)
             return s
-        return jax.jit(f)
+        jf = jax.jit(f)
+        return lambda c: jf(q0, k0, v0, c)
 
     t_t = _slope(mk_train, r1=16, r2=48, tries=5)
     tot = fwd_flops + bwd_flops
@@ -336,8 +387,13 @@ def _product_metrics():
     batch = {"input_ids": ids, "attention_mask": jnp.ones_like(ids),
              "labels": ids}
 
+    # params/state/batch are jit ARGUMENTS: closure-capturing the 7B trees
+    # bakes them into the HLO as constants (observed: a 6.14 GB compile
+    # payload that the relay's remote_compile service choked on for 40+
+    # minutes in the round-3 probe) — as arguments the payload is the HLO
+    # alone and the trees stay resident device buffers
     @jax.jit
-    def f_step(seed, R):
+    def f_step(params, state, batch, seed, R):
         def cond(c):
             return c[0] < R
 
@@ -352,7 +408,9 @@ def _product_metrics():
             cond, body, (jnp.int32(0), state, jnp.float32(0.0)))
         return acc
 
-    t_step = _dyn_slope(f_step, r1=1, r2=3, tries=3)
+    t_step = _dyn_slope(
+        lambda seed, R: f_step(params, state, batch, seed, R),
+        r1=1, r2=3, tries=3)
     # speed-of-light: ~6·tokens·P_linear matmul FLOPs (fwd + remat-fwd + dx)
     p_lin = (cfg.hidden_size * cfg.hidden_size *
              (2 + 2 * cfg.num_kv_heads / cfg.num_heads) +
@@ -385,8 +443,9 @@ def _product_metrics():
 
     from qlora_tpu.ops.qmatmul import default_impl
 
+    # dec_params/cache0 as jit ARGUMENTS for the same compile-payload reason
     @jax.jit
-    def f_decode(seed, R):
+    def f_decode(dec_params, cache0, seed, R):
         def cond(c):
             return c[0] < R
 
@@ -405,7 +464,8 @@ def _product_metrics():
             cond, body, (jnp.int32(0), cache0, toks0 + seed, jnp.int32(0)))
         return acc
 
-    t_dec = _dyn_slope(f_decode, r1=8, r2=24)
+    t_dec = _dyn_slope(
+        lambda seed, R: f_decode(dec_params, cache0, seed, R), r1=8, r2=24)
     tps = B / t_dec
     # speed-of-light: weight-limited decode = int8 bytes / HBM peak per step
     # bytes the decode step actually streams: every weight except the embed

@@ -73,3 +73,32 @@ def test_bundled_five_shot_fixture_resolves_and_pins_accuracy():
     # pinned expectation: random debug model + fixed slice + fixed seed is
     # fully deterministic on CPU; update ONLY with an understood change
     assert abs(res["mmlu_eval_accuracy"] - 8 / 24) < 1e-6
+
+
+def test_bundled_test_splits_resolve_and_pin_accuracy():
+    """--mmlu_split test works out of the box: the derived stand-in files
+    (scripts/make_test_split.py, data/mmlu/README.md) resolve for both
+    mmlu-zs and mmlu-fs and the five-shot test slice reproduces a pinned
+    accuracy like the val fixture above."""
+    import os
+
+    from qlora_tpu.cli import Args, _resolve_mmlu_path
+
+    zs = _resolve_mmlu_path(Args(mmlu_dataset="mmlu-zs", mmlu_split="test"))
+    fs = _resolve_mmlu_path(Args(mmlu_dataset="mmlu-fs", mmlu_split="test"))
+    for path in (zs, fs):
+        assert path is not None and os.path.exists(path), path
+        assert path.endswith("_mmlu_test.json")
+    rows = load_mmlu_file(fs, max_samples=24)
+    assert all(r["output"] in "ABCD" for r in rows)
+    assert "Answer: " in rows[0]["input"]
+
+    cfg = get_config("debug")
+    params = init_params(jax.random.PRNGKey(0), cfg, quantized=True)
+    res = evaluate_mmlu(
+        params, None, cfg, FakeTokenizer(), rows,
+        lcfg=LoraConfig(r=4), batch_size=4, source_max_len=512,
+    )
+    # pinned expectation (subject-averaged accuracy): deterministic on CPU,
+    # update ONLY with an understood change (see val fixture note)
+    assert abs(res["mmlu_eval_accuracy"] - 0.2288888888888889) < 1e-6
