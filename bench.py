@@ -436,16 +436,21 @@ def _product_metrics():
     # free the NF4 QLinears (embed/norms/lm_head are shared, stay live)
     del params
     lora = None
-    cache0 = init_cache(cfg, B, CAP)
-    # pre-fill a CTX-token context cheaply: mark length; contents are zeros
-    cache0 = dict(cache0, length=jnp.full((B,), CTX, jnp.int32))
     toks0 = jnp.full((B, 1), 7, jnp.int32)
 
     from qlora_tpu.ops.qmatmul import default_impl
 
-    # dec_params/cache0 as jit ARGUMENTS for the same compile-payload reason
+    # dec_params as a jit ARGUMENT for the same compile-payload reason; the
+    # KV cache is built INSIDE the jit (zeros = HLO broadcasts) so the while
+    # loop can alias it as a temp instead of double-buffering a 3 GB
+    # argument (observed HBM OOM: two 1.5 GB AllocateBuffer temps on top of
+    # the cache argument).  Per-call init cost cancels in the _dyn_slope.
     @jax.jit
-    def f_decode(dec_params, cache0, seed, R):
+    def f_decode(dec_params, seed, R):
+        # pre-fill a CTX-token context cheaply: mark length; contents zeros
+        cache0 = dict(init_cache(cfg, B, CAP),
+                      length=jnp.full((B,), CTX, jnp.int32))
+
         def cond(c):
             return c[0] < R
 
@@ -465,7 +470,7 @@ def _product_metrics():
         return acc
 
     t_dec = _dyn_slope(
-        lambda seed, R: f_decode(dec_params, cache0, seed, R), r1=8, r2=24)
+        lambda seed, R: f_decode(dec_params, seed, R), r1=8, r2=24)
     tps = B / t_dec
     # speed-of-light: weight-limited decode = int8 bytes / HBM peak per step
     # bytes the decode step actually streams: every weight except the embed

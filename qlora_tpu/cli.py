@@ -472,24 +472,53 @@ def train(args: Args) -> dict:
                     b = {k: jax.device_put(v, _bsh) for k, v in b.items()}
                     return base_fn(st, fr, b, r)
             elif _sp_mode:
-                # sequence-parallel ring-attention training (dp×sp): the
-                # sequence dim shards over sp, KV shards rotate via ppermute
-                if args.mesh_fsdp > 1 or args.mesh_tp > 1:
+                # sequence-parallel ring-attention training: the sequence
+                # dim shards over sp, KV shards rotate via ppermute; fsdp/tp
+                # weight sharding + ZeRO-1 compose (sp_step docstring)
+                if args.mesh_tp > 1 and args.tp_style == "megatron":
                     raise ValueError(
-                        "mesh_sp composes with mesh_dp only (weights stay "
-                        "replicated on the ring; use fsdp/tp without sp)")
+                        "mesh_sp needs tp_style=gather (head-parallel "
+                        "attention does not compose with the ring)")
                 from qlora_tpu.parallel.sp_step import make_sp_train_step
                 from qlora_tpu.train.loss import IGNORE_INDEX
 
-                mesh_s = Mesh(
-                    _np.asarray(jax.devices()[:ndev]).reshape(
-                        args.mesh_dp, args.mesh_sp),
-                    ("dp", "sp"),
-                )
+                _wsh = args.mesh_fsdp > 1 or args.mesh_tp > 1
+                if _wsh:
+                    mesh_s = Mesh(
+                        _np.asarray(jax.devices()[:ndev]).reshape(
+                            args.mesh_dp, args.mesh_fsdp, args.mesh_tp,
+                            args.mesh_sp),
+                        ("dp", "fsdp", "tp", "sp"),
+                    )
+                    if args.mesh_fsdp > 1:
+                        # ZeRO-1 over fsdp: flat-sharded optimizer state,
+                        # portable checkpoints stay in the full layout
+                        z = opt_state_full_to_zero1(
+                            state.opt_state, state.trainable, optimizer,
+                            args.mesh_fsdp)
+                        z = jax.tree_util.tree_map(
+                            lambda x, s: jax.device_put(
+                                x, NamedSharding(mesh_s, s)),
+                            z, zero1_state_specs(z),
+                        )
+                        state = state.replace(opt_state=z)
+                        ckpt_opt_state = lambda st: opt_state_zero1_to_full(
+                            st.opt_state, st.trainable, optimizer
+                        )
+                    params = jax.tree_util.tree_map(
+                        jax.device_put, params,
+                        sharded_param_shardings(params, mesh_s)
+                    )
+                else:
+                    mesh_s = Mesh(
+                        _np.asarray(jax.devices()[:ndev]).reshape(
+                            args.mesh_dp, args.mesh_sp),
+                        ("dp", "sp"),
+                    )
                 sp_fn = make_sp_train_step(
                     cfg, lcfg, optimizer, mesh_s, params, state,
                     accum_steps=args.gradient_accumulation_steps,
-                    donate=False)
+                    clip_norm=args.max_grad_norm, donate=False)
                 _spn = args.mesh_sp
 
                 def step_fn(st, fr, b, r):

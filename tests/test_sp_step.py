@@ -89,6 +89,55 @@ def test_sp_step_accumulation_matches_single_device(mesh):
         assert d.max() < 8e-3 and d.mean() < 2e-4
 
 
+@pytest.fixture(scope="module")
+def mesh_wsh():
+    """dp×fsdp×tp×sp — weight-sharded ring (sp_step module docstring)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return Mesh(np.asarray(jax.devices()[:8]).reshape(1, 2, 2, 2),
+                ("dp", "fsdp", "tp", "sp"))
+
+
+def test_sp_fsdp_tp_step_matches_single_device(mesh_wsh):
+    """VERDICT r2 #3: sequence parallelism composed with fsdp weight
+    sharding (jit per-layer gather) + tp gather + ZeRO-1 optimizer state
+    must reproduce the single-device step's grads/updates exactly."""
+    from jax.sharding import NamedSharding
+    from qlora_tpu.parallel.sharded_step import (
+        init_sharded_train_state, sharded_param_shardings)
+
+    params = init_params(jax.random.PRNGKey(0), CFG, quantized=True)
+    lora = init_lora_params(jax.random.PRNGKey(1), CFG, LCFG)
+    opt = make_optimizer("paged_adamw_32bit", 1e-3, total_steps=10)
+
+    B, S = 4, 32      # S sharded 2-way, B over fsdp=2
+    ids = jax.random.randint(jax.random.PRNGKey(2), (B, S), 0, CFG.vocab_size)
+    batch = {"input_ids": ids, "attention_mask": jnp.ones_like(ids),
+             "labels": ids}
+
+    s_ref = init_train_state(lora, opt)
+    ref_step = make_train_step(CFG, LCFG, opt, accum_steps=1, donate=False)
+
+    s_sp = init_sharded_train_state(lora, opt, mesh_wsh)   # ZeRO-1 over fsdp
+    p_sh = jax.tree_util.tree_map(
+        jax.device_put, params, sharded_param_shardings(params, mesh_wsh))
+    sp_step = make_sp_train_step(CFG, LCFG, opt, mesh_wsh, p_sh, s_sp,
+                                 clip_norm=0.3, donate=False)
+
+    for i in range(3):
+        rng = jax.random.PRNGKey(70 + i)
+        s_ref, m_ref = ref_step(s_ref, params, batch, rng)
+        s_sp, m_sp = sp_step(s_sp, p_sh, batch, rng)
+        np.testing.assert_allclose(float(m_sp["grad_norm"]),
+                                   float(m_ref["grad_norm"]), rtol=5e-3)
+        np.testing.assert_allclose(float(m_sp["loss"]), float(m_ref["loss"]),
+                                   rtol=2e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(s_sp.trainable),
+                    jax.tree_util.tree_leaves(s_ref.trainable)):
+        d = np.abs(np.asarray(a) - np.asarray(b))
+        assert d.max() < 8e-3 and d.mean() < 2e-4
+
+
 def test_sp_step_converges(mesh):
     params = init_params(jax.random.PRNGKey(0), CFG, quantized=True)
     lora = init_lora_params(jax.random.PRNGKey(1), CFG, LCFG)
