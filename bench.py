@@ -220,6 +220,31 @@ def main():
 
     _guard("nf4_train", _nf4_train)
 
+    # 3b) backward kernel (dx = g @ Wᵀ) MXU utilisation at M=1024 — the
+    # r3 ablation winner (TK=512, TN=2048, TM=1024; 0.93 MFU on v5e),
+    # now the production _qmm_bwd_pallas tile policy
+    def _nf4_bwd():
+        from qlora_tpu.ops.bench_kernels import qmm_bwd_repeat
+
+        Mb = 1024
+        gb = jax.random.normal(kw, (Mb, N), dtype=jnp.float32) * 1e-3
+
+        def mk_bwd(R):
+            return jax.jit(lambda c: jnp.sum(qmm_bwd_repeat(
+                (gb * c).astype(jnp.bfloat16), qt.packed, am, (K, N),
+                qt.block_size, qt.quant_type, reps=R, tk=512, tn=2048,
+                tm_max=1024).astype(jnp.float32)))
+
+        tb = _slope(mk_bwd, r1=160, r2=320, tries=5)
+        mfu = 2 * Mb * K * N / tb / (MXU_BF16_TFLOPS * 1e12)
+        extras.append({
+            "metric": "nf4_bwd_mxu_util_m1024",
+            "value": round(mfu, 3), "unit": "fraction_of_bf16_peak",
+            "vs_baseline": round(mfu, 3),
+        })
+
+    _guard("nf4_bwd", _nf4_bwd)
+
     # 4) flash attention MFU at the 7B training shape (S=2048, causal).
     # Scan of R serially-dependent calls in one dispatch; slope isolates
     # device time (same rationale as _scan_slope).

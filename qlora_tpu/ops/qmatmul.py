@@ -638,12 +638,17 @@ def _qmm_bwd_pallas(g, packed, am, shape, block_size, quant_type, out_dtype=jnp.
     code = CODEBOOKS[quant_type]
 
     TK = _pick_tile(K2, (512, 256, 128))  # logical-K output tile (divides K/2)
-    TN = _pick_tile(N, (512, 256, 128))   # DMA width (lane-sliced in-kernel)
+    # DMA width (lane-sliced in-kernel).  TN=2048 skips straight past 1024:
+    # r3 v5e ablation at M=1024/K=N=4096 (benchmarks/bwd_tile_ablation.py)
+    # measured MFU 0.931 @ TN=2048 vs 0.778 @ 512 vs 0.769 @ 1024 — the
+    # wide DMA halves the arbitrary-k grid steps per output tile while
+    # 1024 only re-slices the same traffic.
+    TN = _pick_tile(N, (2048, 512, 256, 128))
     gp = _pad_rows(g.astype(jnp.bfloat16), 16)
     Mp = gp.shape[0]
     # big TM amortizes the per-(j,k) decode (each byte decodes once per
     # M-tile): measured r2 on v5e at M=1024, TM 256→1024 lifts bwd MFU
-    # 0.43→0.74
+    # 0.43→0.74; with TN=2048 (r3) bwd reaches 0.93
     TM = _pick_tile(Mp, (1024, 512, 256, 128, 64, 32, 16))
 
     nj_half = K2 // TK
