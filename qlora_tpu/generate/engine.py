@@ -186,31 +186,24 @@ def generate(
 def beam_search(
     params, lora, ids, lengths, cfg, lcfg=LoraConfig(), *,
     max_new_tokens=256, eos_id=2, num_beams=4, max_len=None,
-    length_penalty: float = 1.0,
+    length_penalty: float = 1.0, paged_kv: bool = True,
+    page_size: int = 16,
 ):
-    """Beam-search generation (GenerationArguments num_beams, qlora.py:230)."""
-    B, S = ids.shape
-    k = num_beams
-    max_len = max_len or (S + max_new_tokens)
-    cache = init_cache(cfg, B, max_len)
-    last_logits, cache = prefill(params, lora, ids, lengths, cfg, lcfg, cache=cache)
-    # tile rows to B*k beams
-    cache = {
-        "k": jnp.repeat(cache["k"], k, axis=1),
-        "v": jnp.repeat(cache["v"], k, axis=1),
-        "length": jnp.repeat(cache["length"], k),
-    }
-    first = jnp.repeat(last_logits, k, axis=0)
-    # single-group diverse beam loop == plain beam search, with EOS-time
-    # hypothesis finalization (HF BeamSearchScorer semantics — finished
-    # beams leave the live set and bank their score at EOS time)
-    from qlora_tpu.generate.search import _group_beam_loop
+    """Beam-search generation (GenerationArguments num_beams, qlora.py:230).
 
-    return _group_beam_loop(
-        params, lora, first, cache,
-        cfg=cfg, lcfg=lcfg, max_new_tokens=max_new_tokens,
-        eos_id=eos_id, num_beams=k, num_beam_groups=1,
-        diversity_penalty=0.0, length_penalty=length_penalty,
+    Plain beam search = single-group diverse beam search with EOS-time
+    hypothesis finalization (HF BeamSearchScorer semantics).  By default
+    beams run on the copy-on-write paged KV (prompt pages shared, reorder
+    = page-table gather + one partial-page copy instead of rewriting the
+    whole context); ``paged_kv=False`` keeps the contiguous cache."""
+    from qlora_tpu.generate.search import group_beam_search
+
+    return group_beam_search(
+        params, lora, ids, lengths, cfg, lcfg,
+        max_new_tokens=max_new_tokens, eos_id=eos_id,
+        num_beams=num_beams, num_beam_groups=1, diversity_penalty=0.0,
+        length_penalty=length_penalty, max_len=max_len,
+        paged_kv=paged_kv, page_size=page_size,
     )
 
 

