@@ -295,19 +295,28 @@ def attention(
     v: jax.Array,          # [B, T, KVH, hd]
     mask: jax.Array,       # [B, 1, S, T] bool (True = attend)
 ) -> jax.Array:
-    """Softmax attention with GQA support; fp32 softmax. Returns [B, S, H, hd]."""
+    """Softmax attention, GQA-grouped; fp32 softmax. Returns [B, S, H, hd].
+
+    GQA queries are GROUPED against their kv head — no ``jnp.repeat``: the
+    repeat materializes H/KVH KV copies through HBM and pushes the logits
+    einsum onto the VPU as an f32 multiply-reduce, profiled at ~58 ms of a
+    107 ms 7B B=32 decode step (docs/DESIGN.md §6c).  Grouped bf16
+    operands with f32 accumulation keep both einsums on the MXU and read
+    the KV once; bf16×bf16 products are exact in f32, so only the
+    accumulation order differs from the previous f32 einsum."""
     B, S, H, hd = q.shape
     KVH = k.shape[2]
-    if KVH != H:
-        rep = H // KVH
-        k = jnp.repeat(k, rep, axis=2)
-        v = jnp.repeat(v, rep, axis=2)
-    qf = q.astype(jnp.float32) / jnp.sqrt(jnp.float32(hd))
-    logits = jnp.einsum("bshd,bthd->bhst", qf, k.astype(jnp.float32))
-    logits = jnp.where(mask, logits, jnp.float32(-1e30))
+    G = H // KVH
+    qg = q.reshape(B, S, KVH, G, hd).astype(jnp.bfloat16)
+    logits = jnp.einsum("bskgd,btkd->bkgst", qg, k.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+    logits = logits * jnp.float32(1.0 / hd ** 0.5)
+    logits = jnp.where(mask[:, :, None], logits, jnp.float32(-1e30))
     probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhst,bthd->bshd", probs.astype(jnp.bfloat16), v)
-    return out.astype(jnp.bfloat16)
+    out = jnp.einsum("bkgst,btkd->bskgd", probs.astype(jnp.bfloat16),
+                     v.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    return out.reshape(B, S, H, hd).astype(jnp.bfloat16)
 
 
 def causal_mask(S: int, T: int, q_offset: jax.Array | int = 0) -> jax.Array:
