@@ -516,6 +516,49 @@ def _product_metrics():
         "value": round(tps, 1), "unit": "tokens/s/chip",
         "vs_baseline": round(tps / sol_tps, 3),
     })
+
+    # --- decode tokens/s, PAGED serving path (the PagedBatcher flagship:
+    # page-pool KV + paged_attention kernel + int8 weights) ---
+    ps = 16
+    n_seq_pages = CAP // ps
+    L_, KVH_, hd_ = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
+
+    @jax.jit
+    def f_decode_paged(dec_params, seed, R):
+        # pools built in-jit (zeros) for while-loop aliasing; tables are
+        # the static per-sequence page ranges PagedBatcher would allocate
+        k_pages = jnp.zeros((L_, KVH_, 1 + B * n_seq_pages, ps, hd_),
+                            jnp.bfloat16)
+        v_pages = jnp.zeros_like(k_pages)
+        tables = (1 + jnp.arange(B)[:, None] * n_seq_pages
+                  + jnp.arange(n_seq_pages)[None, :]).astype(jnp.int32)
+        cache0 = {"k_pages": k_pages, "v_pages": v_pages, "tables": tables,
+                  "length": jnp.full((B,), CTX, jnp.int32)}
+
+        def cond(c):
+            return c[0] < R
+
+        def body(c):
+            i, cache, toks, acc = c
+            with default_impl("w8a8"):
+                logits, cache = forward(dec_params, lora, toks, cfg, lcfg,
+                                        cache=cache)
+            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            return (i + 1, cache, nxt[:, None] + seed * 0,
+                    acc + jnp.sum(nxt))
+
+        _, _, _, acc = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), cache0, toks0 + seed, jnp.int32(0)))
+        return acc
+
+    t_pg = _dyn_slope(
+        lambda seed, R: f_decode_paged(dec_params, seed, R), r1=8, r2=24)
+    tps_pg = B / t_pg
+    out.append({
+        "metric": f"decode_tokens_per_s_7b_gqa_b{B}_paged",
+        "value": round(tps_pg, 1), "unit": "tokens/s/chip",
+        "vs_baseline": round(tps_pg / sol_tps, 3),
+    })
     return out
 
 
