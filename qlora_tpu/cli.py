@@ -239,6 +239,12 @@ def _iter_batches(examples, collator, batch_size, accum, seed, group_by_length,
 
     epoch = 0
     to_skip = skip_steps
+    # bucket length → pending microbatches.  PERSISTS across epochs: a
+    # partial accumulation group at an epoch boundary carries into the next
+    # epoch (HF Trainer semantics).  The old per-epoch reset silently
+    # dropped those microbatches — and spun FOREVER when accum exceeded the
+    # full batches per epoch (nothing ever reached `accum`).
+    groups: dict = {}
     while True:
         if group_by_length:
             lengths = [example_length(tokenizer, e) for e in examples]
@@ -254,10 +260,11 @@ def _iter_batches(examples, collator, batch_size, accum, seed, group_by_length,
                 (order[i : i + batch_size].tolist(), max_len)
                 for i in range(0, len(examples), batch_size)
             ]
-        groups: dict = {}   # bucket length → pending microbatches
+        made_progress = False
         for idx, blen in plan:
             if len(idx) < batch_size:
                 continue  # keep shapes static
+            made_progress = True
             group = groups.setdefault(blen, [])
             if to_skip > 0:
                 # count full accumulation groups without collating
@@ -276,6 +283,10 @@ def _iter_batches(examples, collator, batch_size, accum, seed, group_by_length,
                     out = {k: v[0] for k, v in out.items()}
                 yield out
                 groups[blen] = []
+        if not made_progress:
+            raise ValueError(
+                f"dataset yields no full batch: {len(examples)} examples < "
+                f"per_device_train_batch_size={batch_size}")
         epoch += 1
 
 
@@ -340,18 +351,15 @@ def train(args: Args) -> dict:
             "adam8bit does not compose with tp_style=megatron "
             "(8-bit blockwise optimizer state cannot be suffix-matched to "
             "tp-sharded params); use tp_style=gather or a 32-bit optimizer")
-    if args.optim_host_offload and (
-        args.mesh_dp * args.mesh_fsdp * args.mesh_tp * args.mesh_sp > 1
-    ):
-        raise ValueError(
-            "optim_host_offload is single-device (reference scope: one "
-            "node); sharded meshes keep optimizer state in HBM via ZeRO-1 "
-            "(--mesh_fsdp)")
+    _any_mesh = args.mesh_dp * args.mesh_fsdp * args.mesh_tp * args.mesh_sp > 1
     optimizer = make_optimizer(
         opt_name, args.learning_rate, total_steps=args.max_steps,
         warmup_ratio=args.warmup_ratio, weight_decay=args.weight_decay,
         max_grad_norm=args.max_grad_norm, b2=args.adam_beta2,
-        offload_state=args.optim_host_offload,
+        # on a mesh the inner optimizer stays unwrapped (device_put with a
+        # memory kind is not expressible inside shard_map); paging happens
+        # at the TrainState level after the step_fn is built below
+        offload_state=args.optim_host_offload and not _any_mesh,
     )
     state = init_train_state(trainable, optimizer)
     start_step = 0
@@ -613,6 +621,23 @@ def train(args: Args) -> dict:
                     clip_norm=args.max_grad_norm, donate=False,
                 )
                 step_fn = lambda st, fr, b, r: sh_fn(st, fr, b, r)
+            if args.optim_host_offload:
+                # mesh-composed paged optimizer: opt state parks in
+                # pinned_host between steps, each device paging its own
+                # shard (ZeRO-1 chunk / GSPMD shard / tp shard) — the
+                # reference's paged AdamW was orthogonal to parallelism
+                # (qlora.py:198) and so is this
+                from qlora_tpu.train.optimizer import (
+                    page_state_between_steps, tree_to_memory_kind)
+
+                state = state.replace(opt_state=tree_to_memory_kind(
+                    state.opt_state, "pinned_host"))
+                step_fn = page_state_between_steps(step_fn)
+                _hbm_ckpt = ckpt_opt_state
+                # checkpoint conversions (zero1→full etc.) run jnp ops:
+                # bring the state back to device memory first
+                ckpt_opt_state = lambda st: _hbm_ckpt(st.replace(
+                    opt_state=tree_to_memory_kind(st.opt_state, "device")))
         else:
             step_fn = make_train_step(
                 cfg, lcfg, optimizer,

@@ -179,9 +179,11 @@ def host_offload(
     Use for full finetunes whose Adam moments don't fit alongside the model
     (the reason the reference made paged optimizers its default).
 
-    Scope: single-process, unsharded state — the same scope as the
-    reference feature (one node).  Sharded meshes keep state in HBM via
-    ZeRO-1 instead (parallel/sharded_step.py).
+    Scope: unsharded state (the optimizer.update runs under a plain jit).
+    Sharded meshes page at the TrainState level instead — see
+    :func:`page_state_between_steps` (device_put with a memory-kind inside
+    ``shard_map`` is not expressible, so the mesh path streams the whole
+    ZeRO-1/GSPMD-sharded state around each step, outside the jit).
     """
 
     def _shardings():
@@ -206,6 +208,42 @@ def host_offload(
         return ups, st2
 
     return optax.GradientTransformation(init, update)
+
+
+def tree_to_memory_kind(tree, kind: str):
+    """device_put every array leaf to its own sharding with `kind` memory
+    (works for SingleDeviceSharding and NamedSharding alike — each device
+    pages its OWN shard, so ZeRO-1/GSPMD partitioning is preserved)."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, x.sharding.with_memory_kind(kind))
+        if isinstance(x, jax.Array) and x.ndim > 0 else x,
+        tree,
+    )
+
+
+def page_state_between_steps(step_fn):
+    """Mesh-composed paged optimizer (--optim_host_offload on a mesh).
+
+    The reference's paged AdamW (bnb unified memory, qlora.py:198) was
+    orthogonal to its parallelism; this is the sharded-mesh equivalent of
+    :func:`host_offload`: ``TrainState.opt_state`` parks in ``pinned_host``
+    between steps — each device holding its OWN shard's host copy (ZeRO-1
+    chunks under fsdp, GSPMD shards under full finetune, tp shards under
+    megatron) — and streams to device memory around each jitted step.  The
+    transfers run outside the jit, so steady-state HBM holds no optimizer
+    state; the step's high-water mark adds one transient state copy.
+
+    Wraps any (state, frozen, batch, rng) -> (state, metrics) step."""
+
+    def paged(state, frozen, batch, rng):
+        st = state.replace(
+            opt_state=tree_to_memory_kind(state.opt_state, "device"))
+        st2, metrics = step_fn(st, frozen, batch, rng)
+        return st2.replace(
+            opt_state=tree_to_memory_kind(st2.opt_state, "pinned_host")
+        ), metrics
+
+    return paged
 
 
 def make_optimizer(

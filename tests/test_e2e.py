@@ -165,6 +165,40 @@ def test_cli_mesh_training(tmp_path):
     assert len(losses) == 3 and all(np.isfinite(losses))
 
 
+def test_cli_mesh_training_with_eval_and_mmlu(tmp_path):
+    """VERDICT r2 #5: in-training eval + MMLU on MESH-trained (shard_map
+    laid-out) state — _eval_pass/_run_mmlu consume the sharded trainable
+    without resharding errors and produce finite metrics."""
+    import jax as _jax
+    if len(_jax.devices()) < 4:
+        import pytest as _pytest
+        _pytest.skip("needs 4 virtual devices")
+    data = _write_alpaca(tmp_path, n=32)
+    mmlu = tmp_path / "mmlu_mesh.json"
+    mmlu.write_text(json.dumps([
+        {"subject": "s", "input": "Which? Answer:", "output": "A"},
+        {"subject": "s", "input": "Pick. Answer:", "output": "B"},
+    ]))
+    out = str(tmp_path / "mesh_eval_out")
+    args = Args(
+        model_name_or_path="debug", init_random=True, fake_tokenizer=True,
+        dataset=data, output_dir=out, max_steps=4,
+        per_device_train_batch_size=4, gradient_accumulation_steps=1,
+        lora_r=4, source_max_len=32, target_max_len=16, logging_steps=1,
+        save_steps=100, group_by_length=False,
+        mesh_dp=2, mesh_tp=2,
+        do_eval=True, eval_dataset_size=4, max_eval_samples=4,
+        per_device_eval_batch_size=2, eval_steps=2,
+        do_mmlu_eval=True, mmlu_data_path=str(mmlu), mmlu_source_max_len=64,
+    )
+    m = train(args)
+    assert "mmlu_eval_accuracy" in m and np.isfinite(m["mmlu_eval_accuracy"])
+    assert np.isfinite(m["eval_loss"])
+    log = [json.loads(l) for l in open(os.path.join(out, "train_log.jsonl"))]
+    assert any("eval_loss" in r for r in log)      # fired mid-training
+    assert any("mmlu_eval_accuracy" in r for r in log)
+
+
 def test_cli_mesh_training_megatron(tmp_path):
     # dp=2, tp=2 with the megatron tp style through the CLI driver
     import jax as _jax
@@ -277,3 +311,46 @@ def test_resume_fast_forwards_data():
     resumed = [next(b) for _ in range(2)]
     for x, y in zip(full[3:], resumed):
         np.testing.assert_array_equal(x["input_ids"], y["input_ids"])
+
+
+def test_iter_batches_accumulation_spans_epochs():
+    """Partial accumulation groups carry across epoch boundaries (HF
+    Trainer semantics).  Regression: the per-epoch group reset silently
+    dropped those microbatches and SPUN FOREVER whenever accum exceeded
+    the full batches per epoch (e.g. the reference default accum=16 on a
+    32-example dataset)."""
+    from qlora_tpu.cli import _iter_batches
+    from qlora_tpu.train.collator import CausalCollator
+    from qlora_tpu.utils.testing import FakeTokenizer
+
+    tok = FakeTokenizer()
+    coll = CausalCollator(tok, source_max_len=16, target_max_len=8)
+    exs = [{"input": f"q{i}", "output": f"a{i}"} for i in range(8)]
+    # 4 full batches/epoch, accum=16: one optimizer batch spans 4 epochs
+    it = _iter_batches(exs, coll, 2, 16, seed=7, group_by_length=True,
+                       tokenizer=tok, max_len=24)
+    b = next(it)
+    assert b["input_ids"].shape[0] == 16     # [accum, bs, S]
+    # skip-based resume walks the identical plan
+    coll2 = CausalCollator(tok, source_max_len=16, target_max_len=8)
+    it2 = _iter_batches(exs, coll2, 2, 16, seed=7, group_by_length=True,
+                        tokenizer=tok, max_len=24, skip_steps=1)
+    b1 = next(it)
+    r1 = next(it2)
+    np.testing.assert_array_equal(b1["input_ids"], r1["input_ids"])
+
+
+def test_iter_batches_raises_when_no_full_batch():
+    from qlora_tpu.cli import _iter_batches
+    from qlora_tpu.train.collator import CausalCollator
+    from qlora_tpu.utils.testing import FakeTokenizer
+
+    import pytest as _pytest
+
+    tok = FakeTokenizer()
+    coll = CausalCollator(tok, source_max_len=16, target_max_len=8)
+    exs = [{"input": "q", "output": "a"}] * 3
+    it = _iter_batches(exs, coll, 8, 1, seed=7, group_by_length=False,
+                       tokenizer=tok, max_len=24)
+    with _pytest.raises(ValueError, match="no full batch"):
+        next(it)

@@ -123,13 +123,108 @@ def test_full_train_step_with_offloaded_state(tmp_path):
     assert all(np.isfinite(losses)) and losses[-1] < losses[0]
 
 
-def test_cli_rejects_offload_with_mesh(tmp_path):
-    from qlora_tpu.cli import Args, train
+def _put_sticks_outside_jit():
+    """Out-of-jit device_put honors memory kinds on some backends where the
+    in-jit annotation no-ops; assert kinds only where the put sticks."""
+    from jax.sharding import SingleDeviceSharding
 
-    args = Args(
-        model_name_or_path="debug", init_random=True, fake_tokenizer=True,
-        dataset="x.json", output_dir=str(tmp_path / "o"), max_steps=1,
-        mesh_dp=2, optim_host_offload=True,
+    host = SingleDeviceSharding(jax.devices()[0], memory_kind="pinned_host")
+    try:
+        return (jax.device_put(jnp.ones(2), host).sharding.memory_kind
+                == "pinned_host")
+    except Exception:
+        return False
+
+
+def test_paged_state_on_fsdp_mesh_matches_unpaged():
+    """VERDICT r2 #4: --optim_host_offload composes with meshes.  The
+    ZeRO-1 fsdp-sharded optimizer state pages to pinned_host between steps
+    (each device its own chunk) and the paged step's losses/updates match
+    the unpaged sharded step exactly."""
+    import numpy as np2
+    from jax.sharding import Mesh
+
+    from qlora_tpu.lora import LoraConfig
+    from qlora_tpu.models import init_lora_params, init_params
+    from qlora_tpu.models.config import ModelConfig
+    from qlora_tpu.parallel.sharded_step import (
+        init_sharded_train_state,
+        make_sharded_train_step,
+        sharded_param_shardings,
     )
-    with pytest.raises(ValueError, match="optim_host_offload"):
-        train(args)
+    from qlora_tpu.train import init_train_state, make_train_step
+    from qlora_tpu.train.optimizer import (
+        page_state_between_steps, tree_to_memory_kind)
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2, 1),
+                ("dp", "fsdp", "tp"))
+
+    cfg = ModelConfig(arch="llama", vocab_size=256, hidden_size=256,
+                      intermediate_size=512, num_layers=2, num_heads=2,
+                      num_kv_heads=2)
+    lcfg = LoraConfig(r=4, alpha=8)
+    params = init_params(jax.random.PRNGKey(0), cfg, quantized=True)
+    p_sh = jax.tree_util.tree_map(
+        jax.device_put, params, sharded_param_shardings(params, mesh))
+    lora = init_lora_params(jax.random.PRNGKey(1), cfg, lcfg)
+    opt = make_optimizer("paged_adamw_32bit", 1e-3, total_steps=10)
+
+    ids = jnp.ones((4, 16), jnp.int32)
+    batch = {"input_ids": ids, "attention_mask": jnp.ones_like(ids),
+             "labels": ids}
+
+    s_ref = init_sharded_train_state(lora, opt, mesh)
+    ref = make_sharded_train_step(cfg, lcfg, opt, mesh, p_sh, s_ref,
+                                  donate=False)
+
+    s_pg = init_sharded_train_state(lora, opt, mesh)
+    s_pg = s_pg.replace(
+        opt_state=tree_to_memory_kind(s_pg.opt_state, "pinned_host"))
+    paged = page_state_between_steps(ref)
+
+    for i in range(3):
+        rng = jax.random.PRNGKey(i)
+        s_ref, m_ref = ref(s_ref, p_sh, batch, rng)
+        s_pg, m_pg = paged(s_pg, p_sh, batch, rng)
+        if _put_sticks_outside_jit():
+            kinds = _kinds([x for x in jax.tree_util.tree_leaves(
+                s_pg.opt_state) if getattr(x, "ndim", 0) > 0])
+            assert kinds == {"pinned_host"}, kinds
+        np2.testing.assert_allclose(float(m_pg["loss"]),
+                                    float(m_ref["loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s_pg.trainable),
+                    jax.tree_util.tree_leaves(s_ref.trainable)):
+        np2.testing.assert_allclose(np2.asarray(a), np2.asarray(b),
+                                    rtol=1e-6, atol=1e-7)
+
+
+def test_cli_offload_composes_with_mesh(tmp_path):
+    """The CLI no longer rejects --optim_host_offload on a mesh: a dp×fsdp
+    LoRA run trains with paged ZeRO-1 state and the loss falls."""
+    import json
+
+    from qlora_tpu.cli import parse_args, train
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    data = [{"input": "q", "output": "apple apple apple"}] * 32
+    dpath = tmp_path / "d.json"
+    dpath.write_text(json.dumps(data))
+    args = parse_args([
+        "--model_name_or_path", "debug-llama", "--init_random", "true",
+        "--fake_tokenizer", "true", "--dataset", str(dpath),
+        "--output_dir", str(tmp_path / "o"), "--max_steps", "4",
+        "--per_device_train_batch_size", "4",
+        "--gradient_accumulation_steps", "1",
+        "--learning_rate", "5e-3", "--lora_r", "4",
+        "--source_max_len", "32", "--target_max_len", "16",
+        "--logging_steps", "1", "--do_train", "true",
+        "--do_eval", "false", "--do_predict", "false",
+        "--mesh_dp", "2", "--mesh_fsdp", "2",
+        "--optim_host_offload", "true",
+    ])
+    m = train(args)
+    losses = [h["loss"] for h in m["train_metrics"]]
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
