@@ -84,29 +84,55 @@ def _log(msg):
     sys.stderr.flush()
 
 
-def _slope(make_fn, r1=8, r2=56, tries=8):
+_DISPATCH_FLOOR = 0.030   # s — the relay's fixed per-dispatch cost
+
+
+def _slope(make_fn, r1=8, r2=56, tries=8, max_grow=3):
     """Per-repeat device time from the (R2−R1) wall-clock slope.
 
     CRITICAL: the relay has a ~30 ms fixed dispatch floor that wall-clock
-    sits on until R×per_rep exceeds it, so both R points must put device
-    time well above the floor — r1/r2 are chosen per metric so that
-    r1×per_rep ≳ 20 ms.  Small-R slopes (e.g. 8/56 on a 25 µs kernel)
-    measure noise and can report impossible numbers (>1.0 MFU).
-    """
-    ts = {}
-    for R in (r1, r2):
-        f = make_fn(R)
-        float(f(jnp.float32(0.5)))   # warmup/compile
-        best = float("inf")
-        for t in range(tries):
-            c = jnp.float32(1.0 + t)
-            t0 = time.perf_counter()
-            # host materialization: block_until_ready can return before the
-            # device finishes on this relay (see docs/DESIGN.md §6)
-            float(f(c))
-            best = min(best, time.perf_counter() - t0)
-        ts[R] = best
+    sits on until R×per_rep exceeds it — a slope taken on points near the
+    floor measures noise and can report impossible numbers (BENCH_r03's
+    1.025 MFU came from r1=80 × ~180 µs ≈ 14 ms < floor).  The floor rule
+    is now ENFORCED, not advisory: if the smaller point's wall-clock is
+    under 2× the floor, both rep counts are scaled ×4 and re-measured."""
+    for grow in range(max_grow + 1):
+        ts = {}
+        for R in (r1, r2):
+            f = make_fn(R)
+            float(f(jnp.float32(0.5)))   # warmup/compile
+            best = float("inf")
+            for t in range(tries):
+                c = jnp.float32(1.0 + t)
+                t0 = time.perf_counter()
+                # host materialization: block_until_ready can return before
+                # the device finishes on this relay (see docs/DESIGN.md §6)
+                float(f(c))
+                best = min(best, time.perf_counter() - t0)
+            ts[R] = best
+        if ts[r1] >= 2 * _DISPATCH_FLOOR or grow == max_grow or _remaining() < 90:
+            if ts[r1] < 2 * _DISPATCH_FLOOR:
+                _log(f"slope WARNING: r1={r1} wall {ts[r1]*1e3:.1f} ms still "
+                     "under 2x dispatch floor; result may be noisy")
+            break
+        _log(f"slope: r1={r1} wall {ts[r1]*1e3:.1f} ms < 2x floor, growing x4")
+        r1, r2 = r1 * 4, r2 * 4
     return max((ts[r2] - ts[r1]) / (r2 - r1), 1e-9)
+
+
+def _push(extras, metric):
+    """Append a metric with a physical-plausibility rail: every vs_baseline
+    here is a fraction of a hardware bound (MXU peak / HBM speed-of-light),
+    so a value > 1.0 is a measurement failure, not a result.  Such metrics
+    are emitted as *_implausible with vs_baseline 0 — the scoreboard never
+    carries an impossible number (VERDICT r3 weak #2)."""
+    if metric["vs_baseline"] > 1.0:
+        _log(f"IMPLAUSIBLE metric {metric['metric']} = "
+             f"{metric['vs_baseline']} of a hardware bound; flagging")
+        metric = {**metric, "metric": metric["metric"] + "_implausible",
+                  "vs_baseline": 0.0}
+    extras.append(metric)
+    return metric
 
 
 def main():
@@ -166,12 +192,17 @@ def main():
 
         t = _slope(mk_i8, r1=800, r2=1600, tries=6)
         head_gbps = i8_bytes / t / 1e9
-        return {
+        m = {
             "metric": "decode_serving_weight_read",
             "value": round(head_gbps, 1),
             "unit": "GB/s",
             "vs_baseline": round(head_gbps / HBM_PEAK_GBPS, 3),
         }
+        if m["vs_baseline"] > 1.0:   # > HBM speed-of-light: not a result
+            _log("IMPLAUSIBLE headline; demoting to extras")
+            _push(extras, m)
+            return None
+        return m
 
     _RESULTS["headline"] = _guard("decode_serving", _headline)
 
@@ -189,7 +220,7 @@ def main():
 
             t2 = _slope(mk_nf4, r1=300, r2=600, tries=6)
             g2 = nf4_bytes / t2 / 1e9
-            extras.append({
+            _push(extras, {
                 "metric": f"nf4_fused_matmul_weight_read_m{M2}",
                 "value": round(g2, 1), "unit": "GB/s",
                 "vs_baseline": round(g2 / HBM_PEAK_GBPS, 3),
@@ -212,7 +243,7 @@ def main():
 
         t3 = _slope(mk_train, r1=80, r2=160, tries=6)
         mfu = 2 * M3 * K * N / t3 / (MXU_BF16_TFLOPS * 1e12)
-        extras.append({
+        _push(extras, {
             "metric": "nf4_train_regime_mxu_util_m1024",
             "value": round(mfu, 3), "unit": "fraction_of_bf16_peak",
             "vs_baseline": round(mfu, 3),
@@ -237,7 +268,7 @@ def main():
 
         tb = _slope(mk_bwd, r1=160, r2=320, tries=5)
         mfu = 2 * Mb * K * N / tb / (MXU_BF16_TFLOPS * 1e12)
-        extras.append({
+        _push(extras, {
             "metric": "nf4_bwd_mxu_util_m1024",
             "value": round(mfu, 3), "unit": "fraction_of_bf16_peak",
             "vs_baseline": round(mfu, 3),
@@ -340,12 +371,13 @@ def _flash_metrics():
         return lambda c: jf(q0, k0, v0, c)
 
     t_f = _slope(mk_fwd, r1=48, r2=144, tries=5)  # ~1 ms/call: r1 well > floor
-    out = [{
+    out = []
+    _push(out, {
         "metric": "flash_attention_fwd_mfu_s2048",
         "value": round(fwd_flops / t_f / (MXU_BF16_TFLOPS * 1e12), 3),
         "unit": "fraction_of_bf16_peak",
         "vs_baseline": round(fwd_flops / t_f / (MXU_BF16_TFLOPS * 1e12), 3),
-    }]
+    })
 
     def loss(qq, kk, vv):
         return jnp.sum(flash_attention(
@@ -368,7 +400,7 @@ def _flash_metrics():
 
     t_t = _slope(mk_train, r1=16, r2=48, tries=5)
     tot = fwd_flops + bwd_flops
-    out.append({
+    _push(out, {
         "metric": "flash_attention_train_mfu_s2048",
         "value": round(tot / t_t / (MXU_BF16_TFLOPS * 1e12), 3),
         "unit": "fraction_of_bf16_peak",
@@ -442,7 +474,7 @@ def _product_metrics():
              3 * cfg.hidden_size * cfg.intermediate_size) * cfg.num_layers
     tokens = ids.size
     sol = 6 * tokens * p_lin / (MXU_BF16_TFLOPS * 1e12)
-    out.append({
+    _push(out, {
         "metric": "finetune_step_time_7b_1k_tokens",
         "value": round(t_step, 3), "unit": "s/step",
         "vs_baseline": round(sol / t_step, 3),
@@ -511,7 +543,7 @@ def _product_metrics():
     kv_bytes = (B * CAP * cfg.num_layers * 2 * cfg.num_kv_heads *
                 cfg.head_dim * 2)
     sol_tps = B / ((p_bytes + kv_bytes) / (HBM_PEAK_GBPS * 1e9))
-    out.append({
+    _push(out, {
         "metric": f"decode_tokens_per_s_7b_gqa_b{B}",
         "value": round(tps, 1), "unit": "tokens/s/chip",
         "vs_baseline": round(tps / sol_tps, 3),
@@ -554,7 +586,7 @@ def _product_metrics():
     t_pg = _dyn_slope(
         lambda seed, R: f_decode_paged(dec_params, seed, R), r1=8, r2=24)
     tps_pg = B / t_pg
-    out.append({
+    _push(out, {
         "metric": f"decode_tokens_per_s_7b_gqa_b{B}_paged",
         "value": round(tps_pg, 1), "unit": "tokens/s/chip",
         "vs_baseline": round(tps_pg / sol_tps, 3),

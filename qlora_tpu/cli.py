@@ -239,6 +239,11 @@ def _iter_batches(examples, collator, batch_size, accum, seed, group_by_length,
 
     epoch = 0
     to_skip = skip_steps
+    # per-example lengths are epoch-invariant: tokenize ONCE per run, not
+    # once per epoch (52k Alpaca examples × slow sentencepiece per epoch was
+    # real host time on long runs — VERDICT r3 weak #7)
+    lengths = ([example_length(tokenizer, e) for e in examples]
+               if group_by_length else None)
     # bucket length → pending microbatches.  PERSISTS across epochs: a
     # partial accumulation group at an epoch boundary carries into the next
     # epoch (HF Trainer semantics).  The old per-epoch reset silently
@@ -247,7 +252,6 @@ def _iter_batches(examples, collator, batch_size, accum, seed, group_by_length,
     groups: dict = {}
     while True:
         if group_by_length:
-            lengths = [example_length(tokenizer, e) for e in examples]
             buckets = [b for b in (64, 128, 256, 512, 1024, 2048, 4096) if b <= max_len]
             buckets = buckets or [max_len]
             if buckets[-1] != max_len:
@@ -710,9 +714,9 @@ def train(args: Args) -> dict:
         ev = make_eval_step(cfg, lcfg, mode=mode)
         tot, n_tot = 0.0, 0
         bs = max(args.per_device_eval_batch_size, 1)
-        for i in range(0, len(eval_ds) - bs + 1, bs):
+        for chunk, n_real in _padded_batches(eval_ds, bs):
             collator.pad_to = args.source_max_len + args.target_max_len
-            b = collator(eval_ds[i : i + bs])
+            b = _mask_pad_rows(collator(chunk), n_real)
             b = {k: jnp.asarray(v) for k, v in b.items()}
             loss, n = ev(state.trainable, params, b)
             tot += float(loss) * int(n)
@@ -740,6 +744,31 @@ def train(args: Args) -> dict:
     return all_metrics
 
 
+def _padded_batches(ds, bs):
+    """Yield (chunk, n_real) covering EVERY example: the final partial batch
+    is padded to bs by repeating its last example (shapes stay static) and
+    n_real marks the genuine rows.  Fixes the old ``range(0, len - bs + 1)``
+    loops that silently dropped up to bs-1 tail examples from eval_loss and
+    predictions.jsonl."""
+    for i in range(0, len(ds), bs):
+        chunk = list(ds[i : i + bs])
+        n_real = len(chunk)
+        if n_real < bs:
+            chunk = chunk + [chunk[-1]] * (bs - n_real)
+        yield chunk, n_real
+
+
+def _mask_pad_rows(batch: dict, n_real: int) -> dict:
+    """Zero the padded rows' loss contribution: labels −100 everywhere means
+    the eval step counts 0 valid tokens for those rows (exact)."""
+    if n_real < batch["labels"].shape[0]:
+        batch = dict(batch)
+        labels = batch["labels"].copy()
+        labels[n_real:] = -100
+        batch["labels"] = labels
+    return batch
+
+
 def _eval_pass(args, eval_fn, state, params, collator, eval_ds) -> float:
     import jax.numpy as jnp
 
@@ -747,13 +776,24 @@ def _eval_pass(args, eval_fn, state, params, collator, eval_ds) -> float:
     tot, n_tot = 0.0, 0
     save_pad = collator.pad_to
     collator.pad_to = args.source_max_len + args.target_max_len
-    for i in range(0, len(eval_ds) - bs + 1, bs):
-        b = {k: jnp.asarray(v) for k, v in collator(eval_ds[i : i + bs]).items()}
+    for chunk, n_real in _padded_batches(eval_ds, bs):
+        raw = _mask_pad_rows(collator(chunk), n_real)
+        b = {k: jnp.asarray(v) for k, v in raw.items()}
         loss, n = eval_fn(state.trainable, params, b)
         tot += float(loss) * int(n)
         n_tot += int(n)
     collator.pad_to = save_pad
     return tot / max(n_tot, 1)
+
+
+# bundled MMLU files that are NOT the canonical splits (data/mmlu/README.md):
+# the five-shot files derive their shots from val records instead of the
+# official dev split, and the test files are odd-indexed val stand-ins.
+_MMLU_DERIVED = {
+    "five_shot_mmlu_val.json",
+    "zero_shot_mmlu_test.json",
+    "five_shot_mmlu_test.json",
+}
 
 
 def _resolve_mmlu_path(args) -> Optional[str]:
@@ -770,6 +810,22 @@ def _resolve_mmlu_path(args) -> Optional[str]:
         os.path.join(repo_root, "data", "mmlu", fname),  # bundled
     ):
         if os.path.exists(cand):
+            # scripts/get_mmlu_data.py stamps CANONICAL next to files it
+            # fetched from the hub; absent that, the bundled derived files
+            # produce numbers that are NOT paper-comparable — say so loudly
+            stamp = os.path.join(os.path.dirname(cand), "CANONICAL")
+            canonical = set()
+            if os.path.exists(stamp):
+                with open(stamp) as f:
+                    canonical = {ln.strip() for ln in f}
+            if fname in _MMLU_DERIVED and fname not in canonical:
+                logger.warning(
+                    "MMLU data %s is a bundled DERIVED split (shots/records "
+                    "re-derived from the val file, data/mmlu/README.md): "
+                    "accuracies are self-consistent but NOT comparable to "
+                    "published MMLU numbers. Fetch the canonical splits with "
+                    "scripts/get_mmlu_data.py.", cand,
+                )
             return cand
     return None
 
@@ -837,8 +893,7 @@ def _run_predict(args, params, state, cfg, lcfg, tokenizer, collator, mode):
     bs = max(args.per_device_eval_batch_size, 1)
     out_path = os.path.join(args.output_dir, "predictions.jsonl")
     with open(out_path, "w") as f:
-        for i in range(0, len(predict_ds) - bs + 1, bs):
-            chunk = predict_ds[i : i + bs]
+        for chunk, n_real in _padded_batches(predict_ds, bs):
             b = collator(chunk)
             ids = jnp.asarray(b["input_ids"])
             lengths = jnp.asarray(b["attention_mask"].sum(-1))
@@ -854,7 +909,7 @@ def _run_predict(args, params, state, cfg, lcfg, tokenizer, collator, mode):
                 eos_id=tokenizer.eos_token_id, sparams=sp,
                 rng=jax.random.PRNGKey(args.seed),
             )
-            for ex, row in zip(chunk, np.asarray(toks)):
+            for ex, row in zip(chunk[:n_real], np.asarray(toks)[:n_real]):
                 text = tokenizer.decode(
                     [t for t in row.tolist() if t != tokenizer.eos_token_id]
                 )

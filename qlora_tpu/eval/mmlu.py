@@ -31,7 +31,13 @@ from qlora_tpu.train.loss import IGNORE_INDEX, masked_cross_entropy
 
 def load_mmlu_file(path: str, max_samples: Optional[int] = None) -> list[dict]:
     with open(path) as f:
-        data = json.load(f)
+        text = f.read()
+    try:
+        data = json.loads(text)
+    except json.JSONDecodeError:
+        # the reference's zero_shot_mmlu_val.json is JSON LINES (one record
+        # per line), not a JSON document — json.load raised "Extra data"
+        data = [json.loads(ln) for ln in text.splitlines() if ln.strip()]
     # the reference file is a dict of columns or a list of records
     if isinstance(data, dict):
         keys = list(data)

@@ -62,12 +62,18 @@ def build_from_hub(out_dir):
             })
         return out
 
+    written = []
     for split, hub_split in (("val", "validation"), ("test", "test")):
         for shots, tag in ((0, "zero_shot"), (5, "five_shot")):
             path = os.path.join(out_dir, f"{tag}_mmlu_{split}.json")
             with open(path, "w") as f:
                 json.dump(rows(hub_split, shots), f)
             print("wrote", path)
+            written.append(os.path.basename(path))
+    # stamp the files as canonical so cli._resolve_mmlu_path stops warning
+    # about the bundled derived splits
+    with open(os.path.join(out_dir, "CANONICAL"), "w") as f:
+        f.write("\n".join(written) + "\n")
 
 
 def convert_reference(src, out_dir):
