@@ -107,10 +107,10 @@ class ContinuousBatcher:
             # run the prompt with a batch-1 cache view, then scatter into slot
             sub = {
                 "k": jax.lax.dynamic_slice_in_dim(
-                    cache["k"][:, :, :bucket], slot, 1, axis=1
+                    cache["k"][:, :, :, :bucket], slot, 1, axis=1
                 ),
                 "v": jax.lax.dynamic_slice_in_dim(
-                    cache["v"][:, :, :bucket], slot, 1, axis=1
+                    cache["v"][:, :, :, :bucket], slot, 1, axis=1
                 ),
                 "length": jnp.zeros((1,), jnp.int32),
             }
@@ -119,8 +119,8 @@ class ContinuousBatcher:
                 params, lora, ids_1xS, self.cfg, self.lcfg,
                 cache=sub, positions=positions,
             )
-            k = cache["k"].at[:, slot, :bucket].set(sub["k"][:, 0])
-            v = cache["v"].at[:, slot, :bucket].set(sub["v"][:, 0])
+            k = cache["k"].at[:, slot, :, :bucket].set(sub["k"][:, 0])
+            v = cache["v"].at[:, slot, :, :bucket].set(sub["v"][:, 0])
             ln = cache["length"].at[slot].set(length)
             last = logits[0, length - 1]
             return {"k": k, "v": v, "length": ln}, last

@@ -22,13 +22,20 @@ from qlora_tpu.models.config import ModelConfig
 class PagedPool:
     """Physical page pool + free-list allocator."""
 
-    def __init__(self, cfg: ModelConfig, n_pages: int, page_size: int = 16,
-                 max_pages_per_seq: int = 64):
+    def __init__(self, cfg: ModelConfig, n_pages: int, page_size: int = 64,
+                 max_pages_per_seq: int = 16):
+        # page_size 64 (vs vLLM's GPU-style 16): the TPU kernel's transfer
+        # unit is a whole page for all kv heads, and HBM DMA efficiency
+        # needs >=100 KB copies; 64 tokens x 8 heads x 128 dims x 2 B =
+        # 128 KB.  Memory granularity (<=63 wasted slots/seq) is cheap
+        # next to the DMA-issue savings.
         L, KVH, hd = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
         self.page_size = page_size
         self.max_pages_per_seq = max_pages_per_seq
-        self.k_pages = jnp.zeros((L, KVH, n_pages, page_size, hd), jnp.bfloat16)
-        self.v_pages = jnp.zeros((L, KVH, n_pages, page_size, hd), jnp.bfloat16)
+        # PAGE-MAJOR pool [L, np, KVH, P, hd]: one DMA moves a whole page
+        # for all kv heads (the fused paged kernel's unit of transfer)
+        self.k_pages = jnp.zeros((L, n_pages, KVH, page_size, hd), jnp.bfloat16)
+        self.v_pages = jnp.zeros((L, n_pages, KVH, page_size, hd), jnp.bfloat16)
         # page 0 is RESERVED scratch: inactive batcher slots (padded table
         # entries = 0, length 0) still execute the decode-step cache write,
         # so page 0 absorbs their garbage and must never be allocated
@@ -95,20 +102,21 @@ class PagedPool:
         return jnp.asarray(out)
 
     def write_prefill(self, uid: int, k: jax.Array, v: jax.Array) -> None:
-        """Scatter a prompt's contiguous KV [L, T, KVH, hd] into uid's pages."""
-        L, T, KVH, hd = k.shape
+        """Scatter a prompt's contiguous KV [L, KVH, T, hd] into uid's pages
+        (already kv-head major: a straight reshape to pages, no transpose)."""
+        L, KVH, T, hd = k.shape
         P = self.page_size
         self.extend(uid, T)
         pages = self.tables[uid]
         pad = self.pages_needed(T) * P - T
-        kp = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
-        vp = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
-        # [L, np_used, P, KVH, hd] → [L, KVH, np_used, P, hd]
-        kp = jnp.transpose(kp.reshape(L, -1, P, KVH, hd), (0, 3, 1, 2, 4))
-        vp = jnp.transpose(vp.reshape(L, -1, P, KVH, hd), (0, 3, 1, 2, 4))
-        idx = jnp.asarray(pages[: kp.shape[2]], jnp.int32)
-        self.k_pages = self.k_pages.at[:, :, idx].set(kp.astype(jnp.bfloat16))
-        self.v_pages = self.v_pages.at[:, :, idx].set(vp.astype(jnp.bfloat16))
+        kp = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        vp = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        # [L, KVH, np_used, P, hd] → [L, np_used, KVH, P, hd]
+        kp = jnp.transpose(kp.reshape(L, KVH, -1, P, hd), (0, 2, 1, 3, 4))
+        vp = jnp.transpose(vp.reshape(L, KVH, -1, P, hd), (0, 2, 1, 3, 4))
+        idx = jnp.asarray(pages[: kp.shape[1]], jnp.int32)
+        self.k_pages = self.k_pages.at[:, idx].set(kp.astype(jnp.bfloat16))
+        self.v_pages = self.v_pages.at[:, idx].set(vp.astype(jnp.bfloat16))
 
     def decode_cache(self, uids: list[int], lengths) -> dict:
         """Build the forward() paged-cache dict for these sequences."""
@@ -135,7 +143,7 @@ class PagedBatcher:
     """
 
     def __init__(self, params, lora, cfg, lcfg=None, *, num_slots=128,
-                 n_pages=2048, page_size=16, max_pages_per_seq=64,
+                 n_pages=512, page_size=64, max_pages_per_seq=16,
                  prefill_buckets=(128, 256, 512), eos_id=2, sparams=None,
                  seed=0, decode_impl=None, prefill_impl=None,
                  rolling_eviction=True, tp_mesh=None):
@@ -255,7 +263,7 @@ class PagedBatcher:
 
     def _prefill_kv(self, ids_1xS, length, bucket):
         """Run the prompt through a scratch contiguous cache; return
-        (last_logits [V], k [L,S,KVH,hd], v)."""
+        (last_logits [V], k [L,KVH,S,hd], v)."""
         import contextlib
 
         from qlora_tpu.models.transformer import forward, init_cache
@@ -311,7 +319,7 @@ class PagedBatcher:
             last, k, v = self._prefill_kv(jnp.asarray(ids), jnp.int32(L), bucket)
             uid = req.uid
             self.pool.allocate(uid, L + 1)  # room for the next token too
-            self.pool.write_prefill(uid, k[:, :L], v[:, :L])
+            self.pool.write_prefill(uid, k[:, :, :L], v[:, :, :L])
             self.rng, sub = jax.random.split(self.rng)
             tok = int(sample_token(sub, last[None], self.sparams)[0])
             self._emit(req, tok)

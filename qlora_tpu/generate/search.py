@@ -71,26 +71,26 @@ def _paged_beam_setup(params, lora, ids, lengths, cfg, lcfg, k, T, ps):
 
 
 def _build_paged_beam_cache(kbuf, vbuf, lengths, k, T, ps):
-    """Pool + page tables from prefilled contiguous KV [L, B, Sp, KVH, hd].
+    """Pool + page tables from prefilled contiguous KV [L, B, KVH, Sp, hd].
 
     Pure page plumbing (no model) — unit-testable against a contiguous
     simulation.  Returns (cache dict, W0, W)."""
-    L, B, Sp, KVH, hd = kbuf.shape
+    L, B, KVH, Sp, hd = kbuf.shape
     PB = Sp // ps
     R = B * k
     W = (T + ps - 1) // ps + 1         # working rounds (partial prompt + gen)
     W0 = 1 + B * PB
     n_pages = W0 + R * W
-    k_pages = jnp.zeros((L, KVH, n_pages, ps, hd), kbuf.dtype)
+    k_pages = jnp.zeros((L, n_pages, KVH, ps, hd), kbuf.dtype)
     v_pages = jnp.zeros_like(k_pages)
 
-    def to_pages(buf):                 # [L,B,Sp,KVH,hd] → [L,KVH,B·PB,ps,hd]
-        p = buf.reshape(L, B, PB, ps, KVH, hd)
-        return jnp.transpose(p, (0, 4, 1, 2, 3, 5)).reshape(
-            L, KVH, B * PB, ps, hd)
+    def to_pages(buf):                 # [L,B,KVH,Sp,hd] → [L,B·PB,KVH,ps,hd]
+        p = buf.reshape(L, B, KVH, PB, ps, hd)
+        return jnp.transpose(p, (0, 1, 3, 2, 4, 5)).reshape(
+            L, B * PB, KVH, ps, hd)
 
-    k_pages = k_pages.at[:, :, 1:W0].set(to_pages(kbuf))
-    v_pages = v_pages.at[:, :, 1:W0].set(to_pages(vbuf))
+    k_pages = k_pages.at[:, 1:W0].set(to_pages(kbuf))
+    v_pages = v_pages.at[:, 1:W0].set(to_pages(vbuf))
 
     # each beam's first working page starts as the prompt REMAINDER
     # (positions fb·ps .. length-1; rows past length are masked by the
@@ -99,13 +99,14 @@ def _build_paged_beam_cache(kbuf, vbuf, lengths, k, T, ps):
     idx = jnp.minimum(fb[:, None] * ps + jnp.arange(ps)[None, :], Sp - 1)
 
     def tail(buf):
-        g = jnp.take_along_axis(buf, idx[None, :, :, None, None], axis=2)
-        g = jnp.transpose(g, (0, 3, 1, 2, 4))        # [L, KVH, B, ps, hd]
-        return jnp.repeat(g, k, axis=2)              # [L, KVH, R, ps, hd]
+        # [L, B, KVH, Sp, hd] gathered over Sp → [L, B, KVH, ps, hd]: a
+        # page-major pool entry per row, repeated per beam → [L, R, ...]
+        g = jnp.take_along_axis(buf, idx[None, :, None, :, None], axis=3)
+        return jnp.repeat(g, k, axis=1)
 
     wp0 = W0 + jnp.arange(R) * W
-    k_pages = k_pages.at[:, :, wp0].set(tail(kbuf))
-    v_pages = v_pages.at[:, :, wp0].set(tail(vbuf))
+    k_pages = k_pages.at[:, wp0].set(tail(kbuf))
+    v_pages = v_pages.at[:, wp0].set(tail(vbuf))
 
     # page tables [R, PB + W]: shared prompt pages below fb, own working
     # pages for the next W blocks, padding (page 0) beyond
@@ -147,8 +148,8 @@ def _reorder_beams(cache, gather_rows, paged_w0, paged_w):
     own_cur = paged_w0 + rows * paged_w + (c - fb)
     src_cur = jnp.take_along_axis(tables, c[:, None], axis=1)[:, 0]
     kp, vp = cache["k_pages"], cache["v_pages"]
-    kp = kp.at[:, :, own_cur].set(kp[:, :, src_cur])
-    vp = vp.at[:, :, own_cur].set(vp[:, :, src_cur])
+    kp = kp.at[:, own_cur].set(kp[:, src_cur])
+    vp = vp.at[:, own_cur].set(vp[:, src_cur])
     blocks = jnp.arange(MP)[None, :]
     ownb = paged_w0 + rows[:, None] * paged_w + (blocks - fb[:, None])
     mine = (blocks >= c[:, None]) & (blocks < (fb + paged_w)[:, None])

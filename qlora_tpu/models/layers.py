@@ -319,6 +319,35 @@ def attention(
     return out.reshape(B, S, H, hd).astype(jnp.bfloat16)
 
 
+def attention_kvmajor(
+    q: jax.Array,          # [B, S, H, hd]
+    k_buf: jax.Array,      # [B, KVH, T, hd] — the contiguous-cache layout
+    v_buf: jax.Array,
+    mask: jax.Array,       # [B, 1, S, T] bool (True = attend)
+) -> jax.Array:
+    """:func:`attention` over a KV-HEAD-MAJOR buffer (the decode cache's
+    [B, KVH, T, hd] layout — no transpose materialized).  Used by the
+    cache-prefill path; single-token decode goes through the fused Pallas
+    kernel instead (ops/decode_attention.py)."""
+    B, S, H, hd = q.shape
+    KVH = k_buf.shape[1]
+    G = H // KVH
+    # bf16 operands keep both einsums on the MXU; the CPU backend cannot
+    # execute this contraction order in bf16 (DotThunk BF16xBF16=F32
+    # unimplemented), so tests/interpret runs compute in f32
+    cdt = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+    qg = q.reshape(B, S, KVH, G, hd).astype(cdt)
+    logits = jnp.einsum("bskgd,bktd->bkgst", qg, k_buf.astype(cdt),
+                        preferred_element_type=jnp.float32)
+    logits = logits * jnp.float32(1.0 / hd ** 0.5)
+    logits = jnp.where(mask[:, :, None], logits, jnp.float32(-1e30))
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bkgst,bktd->bskgd", probs.astype(cdt),
+                     v_buf.astype(cdt),
+                     preferred_element_type=jnp.float32)
+    return out.reshape(B, S, H, hd).astype(jnp.bfloat16)
+
+
 def causal_mask(S: int, T: int, q_offset: jax.Array | int = 0) -> jax.Array:
     """[1, 1, S, T] causal mask; q position i attends keys ≤ i + q_offset."""
     qi = jnp.arange(S)[:, None] + q_offset

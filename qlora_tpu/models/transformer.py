@@ -34,6 +34,7 @@ from qlora_tpu.models.layers import (
     apply_linear,
     apply_rope,
     attention,
+    attention_kvmajor,
     causal_mask,
     layer_norm,
     rms_norm,
@@ -144,38 +145,49 @@ def _attn(cfg, block, lora, lcfg, x, cos, sin, mask, cache_kv, pos, rng,
     k = apply_rope(k, cos, sin, rotary_dim)
 
     if cache_kv is not None and len(cache_kv) == 3:
-        # paged decode (S == 1): write the token into its page, then attend
-        # over the sequence's scattered pages via the paged-attention kernel
-        from qlora_tpu.ops.paged_attention import paged_attention
+        # paged decode (S == 1): ONE fused kernel appends the token into
+        # its page in place (aliased pool) and attends over the sequence's
+        # valid pages — no scatter, ≈length HBM traffic per step
+        from qlora_tpu.ops.paged_attention import fused_paged_decode_attention
 
-        k_pages, v_pages, tables = cache_kv       # [KVH,np,P,hd] ×2, [B,mp]
-        page_sz = k_pages.shape[2]
-        p0 = pos[:, 0]                            # [B] write positions
-        page_of = jnp.take_along_axis(
-            tables, (p0 // page_sz)[:, None], axis=1
-        )[:, 0]                                   # [B]
-        off = p0 % page_sz
-        k1 = jnp.transpose(k[:, 0], (1, 0, 2))    # [KVH, B, hd]
-        v1 = jnp.transpose(v[:, 0], (1, 0, 2))
-        k_pages = k_pages.at[:, page_of, off].set(k1.astype(k_pages.dtype))
-        v_pages = v_pages.at[:, page_of, off].set(v1.astype(v_pages.dtype))
-        o = paged_attention(
-            q[:, 0].astype(jnp.bfloat16), k_pages, v_pages,
-            p0 + 1, tables, sm_scale=1.0 / (hd ** 0.5),
+        k_pages, v_pages, tables = cache_kv       # [np,KVH,P,hd] ×2, [B,mp]
+        o, k_pages, v_pages = fused_paged_decode_attention(
+            q[:, 0].astype(jnp.bfloat16), k[:, 0], v[:, 0],
+            k_pages, v_pages, pos[:, 0], tables,
+            sm_scale=1.0 / (hd ** 0.5),
             sliding_window=cfg.sliding_window,
         )
         attn_out = o[:, None]                     # [B, 1, H, hd]
         new_cache = (k_pages, v_pages, tables)
     elif cache_kv is not None:
-        k_buf, v_buf = cache_kv
-        # write the S new keys/values at contiguous positions starting pos[:, 0]
-        k_buf = jax.vmap(
-            lambda buf, kk, p: jax.lax.dynamic_update_slice(buf, kk, (p, 0, 0))
-        )(k_buf, k, pos[:, 0])
-        v_buf = jax.vmap(
-            lambda buf, vv, p: jax.lax.dynamic_update_slice(buf, vv, (p, 0, 0))
-        )(v_buf, v, pos[:, 0])
-        attn_out = attention(q, k_buf, v_buf, mask)
+        k_buf, v_buf = cache_kv                   # [B, KVH, T, hd]
+        if S == 1:
+            # decode: ONE fused kernel appends the token in place (aliased
+            # cache) and runs masked online-softmax attention — replaces
+            # the scatter + full-buffer jnp softmax that bound the decode
+            # step at ~19 ms/step of glue (docs/DESIGN.md §6c)
+            from qlora_tpu.ops.decode_attention import fused_decode_attention
+
+            o, k_buf, v_buf = fused_decode_attention(
+                q[:, 0].astype(jnp.bfloat16), k[:, 0], v[:, 0],
+                k_buf, v_buf, pos[:, 0],
+                sm_scale=1.0 / hd ** 0.5,
+                sliding_window=cfg.sliding_window,
+            )
+            attn_out = o[:, None]                 # [B, 1, H, hd]
+        else:
+            # prefill into the cache: contiguous S-token update per row
+            kt = jnp.transpose(k, (0, 2, 1, 3)).astype(k_buf.dtype)
+            vt = jnp.transpose(v, (0, 2, 1, 3)).astype(v_buf.dtype)
+            k_buf = jax.vmap(
+                lambda buf, kk, p: jax.lax.dynamic_update_slice(
+                    buf, kk, (0, p, 0))
+            )(k_buf, kt, pos[:, 0])
+            v_buf = jax.vmap(
+                lambda buf, vv, p: jax.lax.dynamic_update_slice(
+                    buf, vv, (0, p, 0))
+            )(v_buf, vt, pos[:, 0])
+            attn_out = attention_kvmajor(q, k_buf, v_buf, mask)
         new_cache = (k_buf, v_buf)
     elif sp_axis is not None:
         from qlora_tpu.ops.ring_attention import ring_attention
@@ -337,12 +349,16 @@ def forward(
     elif paged:
         mask = None  # the paged kernel masks by length internally
     elif cache is not None:
-        T = cache["k"].shape[2]
-        kj = jnp.arange(T)[None, None, None, :]
-        # keys valid if already written (< length) or being written now (<= pos)
-        mask = kj <= positions[:, None, :, None]
-        if cfg.sliding_window:
-            mask = mask & (positions[:, None, :, None] - kj < cfg.sliding_window)
+        if S == 1:
+            mask = None   # the fused decode kernel masks by length itself
+        else:
+            T = cache["k"].shape[3]
+            kj = jnp.arange(T)[None, None, None, :]
+            # keys valid if already written (< length) or written now (<= pos)
+            mask = kj <= positions[:, None, :, None]
+            if cfg.sliding_window:
+                mask = mask & (
+                    positions[:, None, :, None] - kj < cfg.sliding_window)
     else:
         T = S
         mask = causal_mask(S, S)
@@ -517,9 +533,11 @@ def init_lora_params(key: jax.Array, cfg: ModelConfig, lcfg: LoraConfig) -> dict
 
 
 def init_cache(cfg: ModelConfig, batch: int, max_len: int) -> dict:
-    """Fixed-size KV cache buffers."""
+    """Fixed-size KV cache buffers, KV-HEAD MAJOR [L, B, KVH, T, hd]: each
+    (batch, kv-head) stream is a contiguous [T, hd] slab, which is what the
+    fused decode-attention kernel DMAs (ops/decode_attention.py)."""
     L, KVH, hd = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
-    shape = (L, batch, max_len, KVH, hd)
+    shape = (L, batch, KVH, max_len, hd)
     return {
         "k": jnp.zeros(shape, jnp.bfloat16),
         "v": jnp.zeros(shape, jnp.bfloat16),

@@ -111,18 +111,20 @@ def _fwd_kernel(
         m_next = jnp.maximum(m_prev, m_curr)                  # [bq, 128]
         alpha = jnp.exp(m_prev - m_next)
         p = jnp.exp(s - _lane_rep(m_next, s.shape[1]))
-        l_corr = alpha * l_prev
-        l_next = jnp.sum(p, axis=1)[:, None] + l_corr         # [bq, 128]
+        l_next = jnp.sum(p, axis=1)[:, None] + alpha * l_prev  # [bq, 128]
         m_scr[:] = m_next
         l_scr[:] = l_next
-        l_inv = jnp.where(l_next == 0.0, 1.0, 1.0 / l_next)
 
         v = v_ref[0, 0]                                       # [bk, d]
-        # keep acc normalized by the RUNNING l (pure vreg-wide ops)
-        acc_scr[:] *= _lane_rep(l_corr * l_inv, acc_scr.shape[1])
+        # FA2-style DEFERRED normalization: acc carries the unnormalized
+        # numerator (rescaled by alpha only) and is divided by l ONCE at
+        # the last kv tile — the old running-l normalization burned two
+        # extra [bq, d] VPU multiplies per tile on the s→p→pv critical
+        # path (p ≤ 1 and acc ≤ l ≤ Skv, so f32 cannot overflow)
+        acc_scr[:] *= _lane_rep(alpha, acc_scr.shape[1])
         acc_scr[:] += jnp.dot(
             p.astype(v.dtype), v, preferred_element_type=jnp.float32
-        ) * _lane_rep(l_inv, acc_scr.shape[1])
+        )
 
     @pl.when(ki == pl.num_programs(3) - 1)
     def _():
@@ -135,8 +137,11 @@ def _fwd_kernel(
         # emit o = 0 and lse = +3e38 (the documented sentinel; backward's
         # exp(s - lse) then underflows to 0, giving exact zero grads).
         empty = m_scr[:] <= DEFAULT_MASK_VALUE * 0.5          # [bq, 128]
+        l_fin = l_scr[:]
+        l_inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
         o_ref[0, 0] = jnp.where(
-            _lane_rep(empty, acc_scr.shape[1]), 0.0, acc_scr[:]
+            _lane_rep(empty, acc_scr.shape[1]), 0.0,
+            acc_scr[:] * _lane_rep(l_inv, acc_scr.shape[1])
         ).astype(o_ref.dtype)
         # single FlashAttention-2-style residual: lse = m + log(l) — halves
         # the stats HBM traffic vs separate l/m (the [B,H,S,128] f32 writes
@@ -155,8 +160,10 @@ def _flash_fwd(q, k, v, kv_lengths, sm_scale, causal, block_q, block_k,
     KVH = k.shape[1]
     G = H // KVH          # GQA: query heads per kv head (kernel-side grouping)
     Skv = k.shape[2]
-    bq = min(block_q, _pick(Sq))
-    bk = min(block_k, _pick(Skv))
+    # honor the requested tile when it divides the sequence (tiles > 512
+    # are legitimate — the ablation sweeps them); shrink only on mismatch
+    bq = block_q if Sq % block_q == 0 else min(block_q, _pick(Sq))
+    bk = block_k if Skv % block_k == 0 else min(block_k, _pick(Skv))
     grid = (B, H, Sq // bq, Skv // bk)
 
     out, lse = pl.pallas_call(
@@ -329,8 +336,10 @@ def _flash_bwd(q, k, v, kv_lengths, o, lse, do, sm_scale, causal, block_q,
                block_k, window=None, dlse=None):
     B, H, Sq, D = q.shape
     Skv = k.shape[2]
-    bq = min(block_q, _pick(Sq))
-    bk = min(block_k, _pick(Skv))
+    # honor the requested tile when it divides the sequence (tiles > 512
+    # are legitimate — the ablation sweeps them); shrink only on mismatch
+    bq = block_q if Sq % block_q == 0 else min(block_q, _pick(Sq))
+    bk = block_k if Skv % block_k == 0 else min(block_k, _pick(Skv))
 
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
     if dlse is not None:

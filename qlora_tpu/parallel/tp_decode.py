@@ -39,14 +39,14 @@ from qlora_tpu.parallel.megatron_step import (
 )
 
 CACHE_SPECS = {
-    "k": P(None, None, None, "tp", None),   # [L, B, T, KVH, hd] — head-sharded
-    "v": P(None, None, None, "tp", None),
+    "k": P(None, None, "tp", None, None),   # [L, B, KVH, T, hd] — head-sharded
+    "v": P(None, None, "tp", None, None),
     "length": P(),
 }
 
 PAGED_CACHE_SPECS = {
-    "k_pages": P(None, "tp", None, None, None),  # [L, KVH, np, P, hd]
-    "v_pages": P(None, "tp", None, None, None),
+    "k_pages": P(None, None, "tp", None, None),  # [L, np, KVH, P, hd]
+    "v_pages": P(None, None, "tp", None, None),
     "tables": P(),
     "length": P(),
 }

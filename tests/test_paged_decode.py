@@ -9,21 +9,21 @@ from qlora_tpu.models import forward, get_config, init_cache, init_params
 
 def _paged_from_contiguous(cache, cfg, page=16, n_pages=64, seed=0):
     """Scatter a contiguous cache into page pools with a random page map."""
-    L, B, T, KVH, hd = cache["k"].shape
+    L, B, KVH, T, hd = cache["k"].shape
     mp = T // page
     rng = np.random.default_rng(seed)
     flat = rng.permutation(n_pages)[: B * mp]
     tables = jnp.asarray(flat.reshape(B, mp), jnp.int32)
-    kp = jnp.zeros((L, KVH, n_pages, page, hd), jnp.bfloat16)
-    vp = jnp.zeros((L, KVH, n_pages, page, hd), jnp.bfloat16)
-    k = np.asarray(cache["k"])  # [L, B, T, KVH, hd]
+    kp = jnp.zeros((L, n_pages, KVH, page, hd), jnp.bfloat16)
+    vp = jnp.zeros((L, n_pages, KVH, page, hd), jnp.bfloat16)
+    k = np.asarray(cache["k"])  # [L, B, KVH, T, hd]
     v = np.asarray(cache["v"])
     kp_n, vp_n = np.array(kp), np.array(vp)  # writable copies
     for b in range(B):
         for j in range(mp):
             pg = int(tables[b, j])
-            kp_n[:, :, pg] = np.array(k[:, b, j * page : (j + 1) * page]).transpose(0, 2, 1, 3)
-            vp_n[:, :, pg] = np.array(v[:, b, j * page : (j + 1) * page]).transpose(0, 2, 1, 3)
+            kp_n[:, pg] = k[:, b, :, j * page : (j + 1) * page]
+            vp_n[:, pg] = v[:, b, :, j * page : (j + 1) * page]
     return {
         "k_pages": jnp.asarray(kp_n), "v_pages": jnp.asarray(vp_n),
         "tables": tables, "length": cache["length"],

@@ -85,9 +85,9 @@ def test_tp_cache_is_head_sharded():
     tp = 2
     mesh = make_tp_mesh(tp)
     cache = shard_tp_cache(init_cache(CFG, 2, 16), mesh)
-    # per-device KV shard holds KVH/tp heads
+    # per-device KV shard holds KVH/tp heads ([L, B, KVH, T, hd]: axis 2)
     shard = cache["k"].addressable_shards[0].data
-    assert shard.shape[3] == CFG.num_kv_heads // tp
+    assert shard.shape[2] == CFG.num_kv_heads // tp
     # packed weight shards shrink 1/tp on the column-parallel linears
     params = init_params(jax.random.PRNGKey(0), CFG, quantized=True)
     p_tp = shard_decode_params(params, mesh)
@@ -156,7 +156,7 @@ def test_paged_batcher_over_tp_mesh():
     assert b.pool.n_free == free0          # every page recycled
     # the pools stayed head-sharded through the whole loop
     shard = b.pool.k_pages.addressable_shards[0].data
-    assert shard.shape[1] == cfg.num_kv_heads // 2
+    assert shard.shape[2] == cfg.num_kv_heads // 2
 
 
 def test_paged_batcher_tp_int8_decode():
