@@ -190,7 +190,7 @@ def main():
                 return jnp.sum(o.astype(jnp.float32) * xs)
             return jax.jit(f)
 
-        t = _slope(mk_i8, r1=800, r2=1600, tries=6)
+        t = _slope(mk_i8, r1=3200, r2=6400, tries=6)
         head_gbps = i8_bytes / t / 1e9
         m = {
             "metric": "decode_serving_weight_read",
@@ -218,7 +218,7 @@ def main():
                     qt.shape, qt.block_size, qt.quant_type, reps=R,
                     tkp_max=tkp).astype(jnp.float32)))
 
-            t2 = _slope(mk_nf4, r1=300, r2=600, tries=6)
+            t2 = _slope(mk_nf4, r1=1200, r2=2400, tries=6)
             g2 = nf4_bytes / t2 / 1e9
             _push(extras, {
                 "metric": f"nf4_fused_matmul_weight_read_m{M2}",
@@ -241,7 +241,7 @@ def main():
                 qt.shape, qt.block_size, qt.quant_type, reps=R,
                 tkp_max=2048, tn_max=256).astype(jnp.float32)))
 
-        t3 = _slope(mk_train, r1=80, r2=160, tries=6)
+        t3 = _slope(mk_train, r1=400, r2=800, tries=6)
         mfu = 2 * M3 * K * N / t3 / (MXU_BF16_TFLOPS * 1e12)
         _push(extras, {
             "metric": "nf4_train_regime_mxu_util_m1024",
@@ -266,7 +266,7 @@ def main():
                 qt.block_size, qt.quant_type, reps=R, tk=512, tn=2048,
                 tm_max=1024).astype(jnp.float32)))
 
-        tb = _slope(mk_bwd, r1=160, r2=320, tries=5)
+        tb = _slope(mk_bwd, r1=640, r2=1280, tries=5)
         mfu = 2 * Mb * K * N / tb / (MXU_BF16_TFLOPS * 1e12)
         _push(extras, {
             "metric": "nf4_bwd_mxu_util_m1024",
@@ -349,7 +349,7 @@ def _flash_metrics():
     from qlora_tpu.ops.flash_attention import flash_attention
 
     Bq, Hq, S, D = 2, 32, 2048, 128
-    bq = bk = 512
+    bq, bk = 1024, 1024   # production default tiles (r4 ablation)
     kq = jax.random.PRNGKey(3)
     q0 = jax.random.normal(kq, (Bq, Hq, S, D), jnp.bfloat16)
     k0 = jax.random.normal(jax.random.fold_in(kq, 1), (Bq, Hq, S, D),
@@ -359,8 +359,10 @@ def _flash_metrics():
     lens = jnp.full((Bq,), S, jnp.int32)
     scale = 1.0 / math.sqrt(D)
 
-    g = S // bq
-    run_frac = (g * (g + 1) / 2) / (g * g)     # executed causal tiles
+    gq, gk = S // bq, S // bk
+    qi = __import__("numpy").arange(gq)[:, None]
+    ki = __import__("numpy").arange(gk)[None, :]
+    run_frac = float(((qi + 1) * bq - 1 >= ki * bk).sum()) / (gq * gk)
     # matmuls of 2·S²·D flops each: fwd kernel 2; bwd dq 3 + dkv 4 (di
     # precompute is elementwise, ignored)
     fwd_flops = 2 * (2 * S * S * D) * Bq * Hq * run_frac
@@ -379,7 +381,7 @@ def _flash_metrics():
         jf = jax.jit(f)
         return lambda c: jf(q0, k0, v0, c)
 
-    t_f = _slope(mk_fwd, r1=48, r2=144, tries=5)  # ~1 ms/call: r1 well > floor
+    t_f = _slope(mk_fwd, r1=96, r2=288, tries=5)
     out = []
     _push(out, {
         "metric": "flash_attention_fwd_mfu_s2048",
@@ -407,13 +409,46 @@ def _flash_metrics():
         jf = jax.jit(f)
         return lambda c: jf(q0, k0, v0, c)
 
-    t_t = _slope(mk_train, r1=16, r2=48, tries=5)
+    t_t = _slope(mk_train, r1=24, r2=72, tries=5)
     tot = fwd_flops + bwd_flops
     _push(out, {
         "metric": "flash_attention_train_mfu_s2048",
         "value": round(tot / t_t / (MXU_BF16_TFLOPS * 1e12), 3),
         "unit": "fraction_of_bf16_peak",
         "vs_baseline": round(tot / t_t / (MXU_BF16_TFLOPS * 1e12), 3),
+    })
+
+    # long-context point (the ring/SP path multiplies this kernel)
+    S4 = 4096
+    q4 = jax.random.normal(kq, (Bq, Hq, S4, D), jnp.bfloat16)
+    k4 = jax.random.normal(jax.random.fold_in(kq, 4), (Bq, Hq, S4, D),
+                           jnp.bfloat16)
+    v4 = jax.random.normal(jax.random.fold_in(kq, 5), (Bq, Hq, S4, D),
+                           jnp.bfloat16)
+    lens4 = jnp.full((Bq,), S4, jnp.int32)
+    gq4, gk4 = S4 // bq, S4 // bk
+    qi4 = __import__("numpy").arange(gq4)[:, None]
+    ki4 = __import__("numpy").arange(gk4)[None, :]
+    rf4 = float(((qi4 + 1) * bq - 1 >= ki4 * bk).sum()) / (gq4 * gk4)
+    f4_flops = 2 * (2 * S4 * S4 * D) * Bq * Hq * rf4
+
+    def mk_fwd4(R):
+        def f(q4, k4, v4, c):
+            def body(s, _):
+                o = flash_attention(q4 * s.astype(q4.dtype), k4, v4, lens4,
+                                    sm_scale=scale, causal=True)
+                return s + jnp.sum(o[0, 0, 0, :8].astype(jnp.float32)) * 1e-30, ()
+            s, _ = jax.lax.scan(body, c, None, length=R)
+            return s
+        jf = jax.jit(f)
+        return lambda c: jf(q4, k4, v4, c)
+
+    t4 = _slope(mk_fwd4, r1=24, r2=72, tries=4)
+    _push(out, {
+        "metric": "flash_attention_fwd_mfu_s4096",
+        "value": round(f4_flops / t4 / (MXU_BF16_TFLOPS * 1e12), 3),
+        "unit": "fraction_of_bf16_peak",
+        "vs_baseline": round(f4_flops / t4 / (MXU_BF16_TFLOPS * 1e12), 3),
     })
     return out
 
@@ -497,10 +532,17 @@ def _product_metrics():
     # --- decode tokens/s at B=32, ctx 512 (int8 serving weights) ---
     B, CTX, CAP = (32, 512, 768) if not small else (4, 16, 32)
     from qlora_tpu.generate.serve_int8 import requantize_params_int8
+    from qlora_tpu.models.unstack import unstack_cache, unstack_params
 
+    # UNSTACKED (per-layer list) trees: lax.scan's per-layer dynamic
+    # slices of the stacked weights/cache materialize as HBM copies around
+    # the pallas kernels and dominated the step (47.6 → 17.4 ms measured);
+    # forward() unrolls the layer loop over lists.  HBM budget: free the
+    # NF4 tree BEFORE unstacking (stacked int8 + unstacked int8 coexist
+    # transiently — with NF4 alive too the peak exceeds 16 GB)
     dec_params = requantize_params_int8(params)
-    # free the NF4 QLinears (embed/norms/lm_head are shared, stay live)
-    del params
+    del params    # embed/norms/lm_head are shared, stay live
+    dec_params = unstack_params(dec_params)
     lora = None
     toks0 = jnp.full((B, 1), 7, jnp.int32)
 
@@ -514,8 +556,8 @@ def _product_metrics():
     @jax.jit
     def f_decode(dec_params, seed, R):
         # pre-fill a CTX-token context cheaply: mark length; contents zeros
-        cache0 = dict(init_cache(cfg, B, CAP),
-                      length=jnp.full((B,), CTX, jnp.int32))
+        cache0 = unstack_cache(dict(init_cache(cfg, B, CAP),
+                                    length=jnp.full((B,), CTX, jnp.int32)))
 
         def cond(c):
             return c[0] < R
@@ -566,11 +608,12 @@ def _product_metrics():
 
     @jax.jit
     def f_decode_paged(dec_params, seed, R):
-        # pools built in-jit (zeros) for while-loop aliasing; tables are
-        # the static per-sequence page ranges PagedBatcher would allocate
-        k_pages = jnp.zeros((L_, 1 + B * n_seq_pages, KVH_, ps, hd_),
-                            jnp.bfloat16)
-        v_pages = jnp.zeros_like(k_pages)
+        # per-layer pool LISTS built in-jit (zeros) for while-loop aliasing;
+        # tables are the static page ranges PagedBatcher would allocate
+        k_pages = [jnp.zeros((1 + B * n_seq_pages, KVH_, ps, hd_),
+                             jnp.bfloat16) for _ in range(L_)]
+        v_pages = [jnp.zeros((1 + B * n_seq_pages, KVH_, ps, hd_),
+                             jnp.bfloat16) for _ in range(L_)]
         tables = (1 + jnp.arange(B)[:, None] * n_seq_pages
                   + jnp.arange(n_seq_pages)[None, :]).astype(jnp.int32)
         cache0 = {"k_pages": k_pages, "v_pages": v_pages, "tables": tables,
@@ -611,6 +654,10 @@ def _serving_metrics():
     throughput; it is the honest end-to-end figure on this box."""
     import numpy as np
 
+    # the product section's jit executables pin donated HBM buffers; the
+    # serving engine needs the chip nearly empty (NF4 + int8 + pools)
+    jax.clear_caches()
+
     from qlora_tpu.generate.paged import PagedBatcher
     from qlora_tpu.lora import LoraConfig
     from qlora_tpu.models import init_params
@@ -630,7 +677,9 @@ def _serving_metrics():
         params, None, cfg, num_slots=slots, n_pages=320 if not small else 32,
         page_size=64 if not small else 8, max_pages_per_seq=12,
         prefill_buckets=(512,) if not small else (16,), eos_id=-1,
-        decode_impl="w8a8" if not small else None,
+        decode_impl="int8" if not small else None,   # offline per-column
+        # int8 serving copy (the production decode path; w8a8's in-kernel
+        # requant loses at slot-batch M and doubles nothing)
     )
     rng = np.random.default_rng(0)
     t_first = {}

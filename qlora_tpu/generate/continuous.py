@@ -53,7 +53,7 @@ class ContinuousBatcher:
         sparams: SamplingParams = SamplingParams(),
         seed: int = 0,
     ):
-        self.params, self.lora, self.cfg, self.lcfg = params, lora, cfg, lcfg
+        self.cfg, self.lcfg = cfg, lcfg
         self.num_slots, self.max_len = num_slots, max_len
         self.prefill_buckets = tuple(
             b for b in sorted(prefill_buckets) if b <= max_len
@@ -62,7 +62,15 @@ class ContinuousBatcher:
         self.sparams = sparams
         self.rng = jax.random.PRNGKey(seed)
 
-        self.cache = init_cache(cfg, num_slots, max_len)
+        from qlora_tpu.models.unstack import (
+            unstack_cache, unstack_lora, unstack_params,
+        )
+
+        # per-layer trees: decode runs forward()'s UNROLLED path (no scan
+        # slice copies of the stacked weights/cache per step)
+        self.cache = unstack_cache(init_cache(cfg, num_slots, max_len))
+        self.params = unstack_params(params)
+        self.lora = unstack_lora(lora, cfg.num_layers)
         self.slot_req: list[Optional[Request]] = [None] * num_slots
         self.last_tokens = np.zeros((num_slots,), np.int32)
         self.queue: list[Request] = []
@@ -105,13 +113,14 @@ class ContinuousBatcher:
         @functools.partial(jax.jit, static_argnames=("bucket",))
         def prefill(params, lora, cache, ids_1xS, length, slot, bucket):
             # run the prompt with a batch-1 cache view, then scatter into slot
+            # per-layer list entries [slots, KVH, T, hd]: batch at axis 0
             sub = {
-                "k": jax.lax.dynamic_slice_in_dim(
-                    cache["k"][:, :, :, :bucket], slot, 1, axis=1
-                ),
-                "v": jax.lax.dynamic_slice_in_dim(
-                    cache["v"][:, :, :, :bucket], slot, 1, axis=1
-                ),
+                "k": [jax.lax.dynamic_slice_in_dim(x[:, :, :bucket], slot, 1,
+                                                   axis=0)
+                      for x in cache["k"]],
+                "v": [jax.lax.dynamic_slice_in_dim(x[:, :, :bucket], slot, 1,
+                                                   axis=0)
+                      for x in cache["v"]],
                 "length": jnp.zeros((1,), jnp.int32),
             }
             positions = jnp.arange(bucket)[None, :]
@@ -119,8 +128,10 @@ class ContinuousBatcher:
                 params, lora, ids_1xS, self.cfg, self.lcfg,
                 cache=sub, positions=positions,
             )
-            k = cache["k"].at[:, slot, :, :bucket].set(sub["k"][:, 0])
-            v = cache["v"].at[:, slot, :, :bucket].set(sub["v"][:, 0])
+            k = [dst.at[slot, :, :bucket].set(sk[0])
+                 for dst, sk in zip(cache["k"], sub["k"])]
+            v = [dst.at[slot, :, :bucket].set(sv[0])
+                 for dst, sv in zip(cache["v"], sub["v"])]
             ln = cache["length"].at[slot].set(length)
             last = logits[0, length - 1]
             return {"k": k, "v": v, "length": ln}, last

@@ -32,10 +32,16 @@ class PagedPool:
         L, KVH, hd = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
         self.page_size = page_size
         self.max_pages_per_seq = max_pages_per_seq
-        # PAGE-MAJOR pool [L, np, KVH, P, hd]: one DMA moves a whole page
-        # for all kv heads (the fused paged kernel's unit of transfer)
-        self.k_pages = jnp.zeros((L, n_pages, KVH, page_size, hd), jnp.bfloat16)
-        self.v_pages = jnp.zeros((L, n_pages, KVH, page_size, hd), jnp.bfloat16)
+        # PAGE-MAJOR pools, one PER-LAYER array [np, KVH, P, hd] in a list:
+        # one DMA moves a whole page for all kv heads (the fused paged
+        # kernel's transfer unit), and per-layer lists let forward() unroll
+        # the decode layer loop over whole buffers — stacking [L, ...]
+        # forces lax.scan to dynamic-slice each layer's pool in and out,
+        # which XLA materializes as 100 MB copies per layer per step
+        self.k_pages = [jnp.zeros((n_pages, KVH, page_size, hd), jnp.bfloat16)
+                        for _ in range(L)]
+        self.v_pages = [jnp.zeros((n_pages, KVH, page_size, hd), jnp.bfloat16)
+                        for _ in range(L)]
         # page 0 is RESERVED scratch: inactive batcher slots (padded table
         # entries = 0, length 0) still execute the decode-step cache write,
         # so page 0 absorbs their garbage and must never be allocated
@@ -115,8 +121,10 @@ class PagedPool:
         kp = jnp.transpose(kp.reshape(L, KVH, -1, P, hd), (0, 2, 1, 3, 4))
         vp = jnp.transpose(vp.reshape(L, KVH, -1, P, hd), (0, 2, 1, 3, 4))
         idx = jnp.asarray(pages[: kp.shape[1]], jnp.int32)
-        self.k_pages = self.k_pages.at[:, idx].set(kp.astype(jnp.bfloat16))
-        self.v_pages = self.v_pages.at[:, idx].set(vp.astype(jnp.bfloat16))
+        self.k_pages = [dst.at[idx].set(kp[l].astype(jnp.bfloat16))
+                        for l, dst in enumerate(self.k_pages)]
+        self.v_pages = [dst.at[idx].set(vp[l].astype(jnp.bfloat16))
+                        for l, dst in enumerate(self.v_pages)]
 
     def decode_cache(self, uids: list[int], lengths) -> dict:
         """Build the forward() paged-cache dict for these sequences."""
@@ -129,8 +137,8 @@ class PagedPool:
 
     def update_from(self, cache: dict) -> None:
         """Write back pools mutated by a decode step."""
-        self.k_pages = cache["k_pages"]
-        self.v_pages = cache["v_pages"]
+        self.k_pages = list(cache["k_pages"])
+        self.v_pages = list(cache["v_pages"])
 
 
 class PagedBatcher:
@@ -233,8 +241,10 @@ class PagedBatcher:
                 cfg, self.lcfg, tp_mesh, self.decode_params, lora,
                 paged=True, impl="w8a8" if decode_impl == "int8" else None)
             pool_spec = NamedSharding(tp_mesh, PAGED_CACHE_SPECS["k_pages"])
-            self.pool.k_pages = jax.device_put(self.pool.k_pages, pool_spec)
-            self.pool.v_pages = jax.device_put(self.pool.v_pages, pool_spec)
+            self.pool.k_pages = [jax.device_put(x, pool_spec)
+                                 for x in self.pool.k_pages]
+            self.pool.v_pages = [jax.device_put(x, pool_spec)
+                                 for x in self.pool.v_pages]
         else:
             self.decode_params = params
             if decode_impl == "int8":

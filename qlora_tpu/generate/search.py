@@ -67,7 +67,9 @@ def _paged_beam_setup(params, lora, ids, lengths, cfg, lcfg, k, T, ps):
     last, cache = prefill(params, lora, ids, lengths, cfg, lcfg, cache=cache)
     cache, w0, w = _build_paged_beam_cache(
         cache["k"], cache["v"], lengths, k, T, ps)
-    return jnp.repeat(last, k, axis=0), cache, w0, w
+    from qlora_tpu.models.unstack import unstack_cache
+
+    return jnp.repeat(last, k, axis=0), unstack_cache(cache), w0, w
 
 
 def _build_paged_beam_cache(kbuf, vbuf, lengths, k, T, ps):
@@ -134,22 +136,21 @@ def _reorder_beams(cache, gather_rows, paged_w0, paged_w):
     beam's own working pages (so future writes never collide)."""
     if paged_w0 is None:
         return {
-            "k": cache["k"][:, gather_rows],
-            "v": cache["v"][:, gather_rows],
+            "k": [x[gather_rows] for x in cache["k"]],
+            "v": [x[gather_rows] for x in cache["v"]],
             "length": cache["length"][gather_rows],
         }
     tables = cache["tables"][gather_rows]
     length = cache["length"]           # identical within a row: no gather
     fb = cache["fb"]
     R, MP = tables.shape
-    ps = cache["k_pages"].shape[3]
+    ps = cache["k_pages"][0].shape[2]  # per-layer entry [np, KVH, ps, hd]
     c = length // ps                   # current (partial) block per slot
     rows = jnp.arange(R)
     own_cur = paged_w0 + rows * paged_w + (c - fb)
     src_cur = jnp.take_along_axis(tables, c[:, None], axis=1)[:, 0]
-    kp, vp = cache["k_pages"], cache["v_pages"]
-    kp = kp.at[:, own_cur].set(kp[:, src_cur])
-    vp = vp.at[:, own_cur].set(vp[:, src_cur])
+    kp = [x.at[own_cur].set(x[src_cur]) for x in cache["k_pages"]]
+    vp = [x.at[own_cur].set(x[src_cur]) for x in cache["v_pages"]]
     blocks = jnp.arange(MP)[None, :]
     ownb = paged_w0 + rows[:, None] * paged_w + (blocks - fb[:, None])
     mine = (blocks >= c[:, None]) & (blocks < (fb + paged_w)[:, None])
@@ -317,6 +318,10 @@ def group_beam_search(
         raise ValueError("num_beams must be divisible by num_beam_groups")
     B, S = ids.shape
     k = num_beams
+    from qlora_tpu.models.unstack import (
+        unstack_cache, unstack_lora, unstack_params,
+    )
+
     if paged_kv:
         first, cache, w0, w = _paged_beam_setup(
             params, lora, ids, lengths, cfg, lcfg, k, max_new_tokens,
@@ -333,6 +338,10 @@ def group_beam_search(
         }
         first = jnp.repeat(last, k, axis=0)
         w0 = w = None
+    # per-layer trees: the decode loop runs copy-free unrolled layers
+    cache = unstack_cache(cache)
+    params = unstack_params(params)
+    lora = unstack_lora(lora, cfg.num_layers)
     return _group_beam_loop(
         params, lora, first, cache, cfg=cfg, lcfg=lcfg,
         max_new_tokens=max_new_tokens, eos_id=eos_id, num_beams=k,
@@ -367,10 +376,11 @@ def _contrastive_loop(
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         p_c, tok_c = jax.lax.top_k(probs, k)            # [B, k]
 
-        # run the k candidates against k copies of the cache
+        # run the k candidates against k copies of the cache (per-layer
+        # list entries [B, KVH, T, hd]: batch is axis 0)
         cache_x = {
-            "k": jnp.repeat(cache["k"], k, axis=1),
-            "v": jnp.repeat(cache["v"], k, axis=1),
+            "k": [jnp.repeat(x, k, axis=0) for x in cache["k"]],
+            "v": [jnp.repeat(x, k, axis=0) for x in cache["v"]],
             "length": jnp.repeat(cache["length"], k),
         }
         lg, cache_x, h = forward(
@@ -392,8 +402,8 @@ def _contrastive_loop(
         tok = jnp.where(done, eos_id, tok)
 
         cache = {
-            "k": cache_x["k"][:, rows],
-            "v": cache_x["v"][:, rows],
+            "k": [x[rows] for x in cache_x["k"]],
+            "v": [x[rows] for x in cache_x["v"]],
             "length": cache_x["length"][rows],
         }
         hist = hist.at[jnp.arange(B), n_hist].set(
@@ -446,6 +456,13 @@ def contrastive_search(
 
     # note: hist_len advances by one per generated token; passed as the
     # running insert position (starts at prompt length)
+    from qlora_tpu.models.unstack import (
+        unstack_cache, unstack_lora, unstack_params,
+    )
+
+    params = unstack_params(params)
+    lora = unstack_lora(lora, cfg.num_layers)
+    cache = unstack_cache(cache)
     return _contrastive_loop(
         params, lora, last, cache, hist, lengths,
         cfg=cfg, lcfg=lcfg, max_new_tokens=max_new_tokens, eos_id=eos_id,

@@ -352,7 +352,10 @@ def forward(
         if S == 1:
             mask = None   # the fused decode kernel masks by length itself
         else:
-            T = cache["k"].shape[3]
+            ck = cache["k"]
+            # stacked [L, B, KVH, T, hd] or per-layer list of [B, KVH, T, hd]
+            T = (ck[0].shape[2] if isinstance(ck, (list, tuple))
+                 else ck.shape[3])
             kj = jnp.arange(T)[None, None, None, :]
             # keys valid if already written (< length) or written now (<= pos)
             mask = kj <= positions[:, None, :, None]
@@ -412,7 +415,50 @@ def forward(
         cache_in = (cache["k"], cache["v"])
     else:
         cache_in = None
-    if cache_in is not None:
+    # UNROLLED decode: when the blocks (and cache planes) arrive as
+    # per-layer LISTS instead of L-stacked arrays, loop layers in python.
+    # Rationale: lax.scan must dynamic-slice each layer's weights and cache
+    # out of the stacked arrays and update-slice the cache back — and XLA
+    # materializes those slices as real HBM copies around the opaque
+    # pallas calls (~200 MB weights + 2×100 MB cache per layer at 7B:
+    # measured as the dominant share of the decode step, r3's "19 ms of
+    # dynamic-slice/bitcast glue").  Per-layer arrays are passed to their
+    # kernels as whole buffers — no slicing, no copies.  utils for the
+    # conversion: models.unstack (unstack_params / unstack_cache).
+    unrolled = isinstance(params["blocks"], (list, tuple)) or (
+        cache_in is not None and isinstance(cache_in[0], (list, tuple)))
+    if cache_in is not None and unrolled:
+        blocks = params["blocks"]
+        blocks_listed = isinstance(blocks, (list, tuple))
+        ks, vs = [], []
+        for i in range(cfg.num_layers):
+            # stacked blocks with a list cache still work (the per-layer
+            # weight slices cost copies — pass unstacked params to avoid)
+            block_i = (blocks[i] if blocks_listed else
+                       jax.tree_util.tree_map(lambda a: a[i], blocks))
+            if lora is None:
+                lora_l = None
+            elif isinstance(lora, (list, tuple)):
+                lora_l = lora[i]
+            else:   # stacked lora over unrolled blocks: slices are tiny
+                lora_l = jax.tree_util.tree_map(lambda a: a[i], lora)
+            cache_l = (cache_in[0][i], cache_in[1][i])
+            if tables is not None:
+                cache_l = (*cache_l, tables)
+            x, nc_l = blk(x, block_i, lora_l, cos, sin, mask, cache_l,
+                          positions, layer_rngs[i], flash_lengths)
+            ks.append(nc_l[0])
+            vs.append(nc_l[1])
+        if paged:
+            new_cache = {
+                "k_pages": ks, "v_pages": vs,
+                "tables": tables, "length": positions[:, -1] + 1,
+            }
+        else:
+            new_cache = {
+                "k": ks, "v": vs, "length": positions[:, -1] + 1,
+            }
+    elif cache_in is not None:
         x, cache_out = jax.lax.scan(
             body, x, (params["blocks"], lora, cache_in, layer_rngs)
         )

@@ -53,8 +53,12 @@ def _kernel(
     lengths_ref,                       # [B] int32
     # inputs
     q_ref,                             # [1, KVH, G, hd]
-    nk_ref,                            # [1, KVH, 1, hd]
-    nv_ref,                            # [1, KVH, 1, hd]
+    nk_ref,                            # [1, 1, KVH, hd] — token axis LEADS:
+    nv_ref,                            #   slicing a bf16 VMEM ref to size 1
+                                       #   along the sublane-packed dim is
+                                       #   illegal (Mosaic tiling (2,128));
+                                       #   with [KVH, hd] minor the DMA
+                                       #   source needs no sub-tile slice
     k_ref,                             # [1, KVH, Tc, hd] pipelined chunk
     v_ref,
     # outputs
@@ -65,7 +69,9 @@ def _kernel(
     m_s,                               # [KVH, G, LANES] f32 running max
     l_s,                               # [KVH, G, LANES] f32 running sum
     acc_s,                             # [KVH, G, hd]   f32 running numerator
-    sem,                               # DMA(2) — cache-append copies
+    tok_k,                             # [KVH, 8, hd] — aligned append window
+    tok_v,
+    sem,                               # DMA(4) — append window rd/wr × k/v
     *,
     chunk: int,
     sm_scale: float,
@@ -76,12 +82,23 @@ def _kernel(
     nc = pl.num_programs(1)
     length = lengths_ref[b]
     KVH, G = q_ref.shape[1], q_ref.shape[2]
+    # Mosaic forbids slicing the sublane-tiled T axis to size 1 (bf16 tile
+    # (8,128)), so the append is a read-modify-write of the ALIGNED 8-token
+    # window holding position `length`; the read starts at c == 0 and its
+    # latency hides behind the chunk-compute loop
+    aligned = pl.multiple_of((length // 8) * 8, 8)
 
     @pl.when(c == 0)
     def _init():
         m_s[...] = jnp.full_like(m_s, MASK)
         l_s[...] = jnp.zeros_like(l_s)
         acc_s[...] = jnp.zeros_like(acc_s)
+        pltpu.make_async_copy(
+            ko_ref.at[b, :, pl.ds(aligned, 8), :], tok_k, sem.at[0]
+        ).start()
+        pltpu.make_async_copy(
+            vo_ref.at[b, :, pl.ds(aligned, 8), :], tok_v, sem.at[1]
+        ).start()
 
     # the pipeline clamps the chunk INDEX for c past the row's length (see
     # index maps below); position arithmetic must match the data actually
@@ -129,8 +146,8 @@ def _kernel(
         # never read back from HBM this step), then normalize and emit
         for h in range(KVH):
             qh = q_ref[0, h].astype(jnp.float32)          # [G, hd]
-            nk = nk_ref[0, h, 0].astype(jnp.float32)      # [hd]
-            nv = nv_ref[0, h, 0].astype(jnp.float32)
+            nk = nk_ref[0, 0, h].astype(jnp.float32)      # [hd]
+            nv = nv_ref[0, 0, h].astype(jnp.float32)
             s_new = jnp.sum(qh * nk[None, :], axis=1, keepdims=True) \
                 * sm_scale                                # [G, 1]
             m_prev = m_s[h]
@@ -143,15 +160,25 @@ def _kernel(
             den = jnp.where(l_f[:, :hd] == 0.0, 1.0, l_f[:, :hd])
             o_ref[0, h] = (num / den).astype(o_ref.dtype)
 
-        # append the token into the cache in place (aliased output refs);
-        # the chunk DMAs for THIS cell all targeted indices < this write's
-        # position region only via masked reads, and other cells' chunks
-        # live in disjoint [b, h] slabs — no hazard
+        # append in place (aliased outputs): wait the window read started
+        # at c == 0, select the new token into its sublane, write back the
+        # aligned window.  Other cells' DMAs touch disjoint [b] slabs and
+        # this cell's own chunk reads completed before finalize — no hazard
+        pltpu.make_async_copy(
+            ko_ref.at[b, :, pl.ds(aligned, 8), :], tok_k, sem.at[0]
+        ).wait()
+        pltpu.make_async_copy(
+            vo_ref.at[b, :, pl.ds(aligned, 8), :], tok_v, sem.at[1]
+        ).wait()
+        hit = jax.lax.broadcasted_iota(jnp.int32, (KVH, 8, tok_k.shape[-1]),
+                                       1) == (length - aligned)
+        tok_k[...] = jnp.where(hit, nk_ref[0, 0][:, None, :], tok_k[...])
+        tok_v[...] = jnp.where(hit, nv_ref[0, 0][:, None, :], tok_v[...])
         kc = pltpu.make_async_copy(
-            nk_ref.at[0], ko_ref.at[b, :, pl.ds(length, 1), :], sem.at[0]
+            tok_k, ko_ref.at[b, :, pl.ds(aligned, 8), :], sem.at[2]
         )
         vc = pltpu.make_async_copy(
-            nv_ref.at[0], vo_ref.at[b, :, pl.ds(length, 1), :], sem.at[1]
+            tok_v, vo_ref.at[b, :, pl.ds(aligned, 8), :], sem.at[3]
         )
         kc.start()
         vc.start()
@@ -199,8 +226,8 @@ def fused_decode_attention(
     sw = max(LANES, hd)      # stats width: lane-replicated, ≥ hd so the
     # acc update can slice (never broadcast) the alpha vreg
     qg = q.reshape(B, KVH, G, hd)
-    nk = new_k.reshape(B, KVH, 1, hd).astype(k_cache.dtype)
-    nv = new_v.reshape(B, KVH, 1, hd).astype(v_cache.dtype)
+    nk = new_k.reshape(B, 1, KVH, hd).astype(k_cache.dtype)
+    nv = new_v.reshape(B, 1, KVH, hd).astype(v_cache.dtype)
 
     def chunk_map(b, c, lens):
         # clamp: chunks past the row's valid region all map to the last
@@ -213,8 +240,8 @@ def fused_decode_attention(
         grid=(B, nc),
         in_specs=[
             pl.BlockSpec((1, KVH, G, hd), lambda b, c, lens: (b, 0, 0, 0)),
-            pl.BlockSpec((1, KVH, 1, hd), lambda b, c, lens: (b, 0, 0, 0)),
-            pl.BlockSpec((1, KVH, 1, hd), lambda b, c, lens: (b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, KVH, hd), lambda b, c, lens: (b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, KVH, hd), lambda b, c, lens: (b, 0, 0, 0)),
             pl.BlockSpec((1, KVH, chunk, hd), chunk_map),
             pl.BlockSpec((1, KVH, chunk, hd), chunk_map),
         ],
@@ -227,7 +254,9 @@ def fused_decode_attention(
             pltpu.VMEM((KVH, G, sw), jnp.float32),
             pltpu.VMEM((KVH, G, sw), jnp.float32),
             pltpu.VMEM((KVH, G, hd), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((KVH, 8, hd), k_cache.dtype),
+            pltpu.VMEM((KVH, 8, hd), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     out, k_cache, v_cache = pl.pallas_call(

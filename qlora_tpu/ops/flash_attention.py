@@ -66,8 +66,10 @@ def _fwd_kernel(
     All softmax statistics (m/l) live LANE-REPLICATED in [bq, 128] scratch:
     narrow [bq, 1] stat vregs force a Mosaic relayout on every max/exp/
     rescale and serialized the whole kernel at 0.27 MFU on v5e; the
-    replicated layout runs the same shape at 0.47 MFU (the dot-only floor,
-    also faster than jax.experimental's reference kernel at 0.41).
+    replicated layout ran the same shape at 0.47 MFU; round 4's deferred
+    normalization (FA2-style: acc rescaled by alpha only, divided by l
+    once at the last kv tile) plus 1024-wide q tiles reach 0.55-0.62
+    (vs jax.experimental's reference kernel at 0.41).
     """
     qi = pl.program_id(2)
     ki = pl.program_id(3)
@@ -425,8 +427,11 @@ def flash_attention(
     kv_lengths: jax.Array,      # [B] int32 — keys >= length are masked
     sm_scale: float = 1.0,
     causal: bool = True,
-    block_q: int = 512,   # 512/512 measured best on v5e (S=2048, D=128):
-    block_k: int = 512,   # 0.47 MFU vs 0.14 at 256/256
+    block_q: int = 1024,  # r4 v5e ablation (D=128, deferred-norm), WALL
+    block_k: int = 1024,  # CLOCK per call: 1024/1024 wins at S=2048
+                          # (0.927 ms vs 0.959 at /512, 0.954 old 512/512)
+                          # and S=4096 (2.907 vs 3.001) — bigger tiles
+                          # amortize the VPU softmax against more MXU work
     window: int | None = None,  # Mistral-style sliding window
 ) -> jax.Array:
     out, _ = _flash_fwd(q, k, v, kv_lengths, sm_scale, causal, block_q,
@@ -470,8 +475,8 @@ flash_attention.defvjp(_fa_fwd, _fa_bwd)
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def flash_attention_lse(
-    q, k, v, kv_lengths, sm_scale=1.0, causal=True, block_q=512,
-    block_k=512, window=None,
+    q, k, v, kv_lengths, sm_scale=1.0, causal=True, block_q=1024,
+    block_k=1024, window=None,
 ):
     """flash_attention that ALSO returns lse [B, H, Sq] (m + log l per row;
     fully-masked rows hold +3e38 — treat as -inf when merging).

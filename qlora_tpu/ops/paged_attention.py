@@ -61,8 +61,9 @@ def _kernel(
     tables_ref,                         # [B, pps]
     # inputs
     q_ref,                              # [1, KVH, G, D]
-    nk_ref,                             # [1, KVH, 1, D]
-    nv_ref,                             # [1, KVH, 1, D]
+    nk_ref,                             # [1, 1, KVH, D] — token axis leads
+    nv_ref,                             #   (bf16 sublane tiling forbids
+                                        #   size-1 slices of the packed dim)
     kp_ref,                             # [np, KVH, page, D] ANY
     vp_ref,
     # outputs
@@ -72,7 +73,10 @@ def _kernel(
     # scratch
     kbuf,                               # [2, KVH, T, D]
     vbuf,
-    sems,                               # DMA (2, 2)
+    tok_k,                              # [KVH, 8, D] — aligned append window
+    tok_v,
+    sems,                               # DMA (2, 2) — page streams
+    asem,                               # DMA (4,)  — append window rd/wr
     *,
     page: int,
     pps: int,
@@ -136,9 +140,20 @@ def _kernel(
     def _prefetch_next():
         start(b + 1, (b + 1) % 2)
 
-    wait(b, slot)
-
     length = lengths_ref[b]
+    # append = read-modify-write of the aligned 8-token window holding
+    # position `length` in its page (Mosaic forbids size-1 slices of the
+    # sublane-tiled page axis); read starts now, latency hides behind the
+    # attention compute below
+    wp = tables_ref[b, length // page]
+    woff = length % page
+    al = pl.multiple_of((woff // 8) * 8, 8)
+    pltpu.make_async_copy(
+        kp_ref.at[wp, :, pl.ds(al, 8), :], tok_k, asem.at[0]).start()
+    pltpu.make_async_copy(
+        vp_ref.at[wp, :, pl.ds(al, 8), :], tok_v, asem.at[1]).start()
+
+    wait(b, slot)
     for h in range(KVH):
         qh = q_ref[0, h]                                  # [G, D] bf16
         kh = kbuf[slot, h]                                # [T, D]
@@ -154,8 +169,8 @@ def _kernel(
             valid &= pos > length - sliding_window
         s = jnp.where(valid, s, MASK)
 
-        nk = nk_ref[0, h, 0].astype(jnp.float32)          # [D]
-        nv = nv_ref[0, h, 0].astype(jnp.float32)
+        nk = nk_ref[0, 0, h].astype(jnp.float32)          # [D]
+        nv = nv_ref[0, 0, h].astype(jnp.float32)
         s_new = jnp.sum(
             qh.astype(jnp.float32) * nk[None, :], axis=1, keepdims=True
         ) * sm_scale                                      # [G, 1]
@@ -170,17 +185,21 @@ def _kernel(
         ) + p_new * nv[None, :]                           # [G, D]
         o_ref[0, h] = (num / jnp.where(l == 0.0, 1.0, l)).astype(o_ref.dtype)
 
-    # append the new token into its page in place (aliased pool outputs);
-    # the page is exclusively owned by this sequence (allocator/COW
-    # invariant), so no other cell's DMA can race this write
-    wp = tables_ref[b, length // page]
-    off = length % page
+    # finish the append: select the new token into its sublane and write
+    # the aligned window back in place (aliased pool outputs).  The page is
+    # exclusively owned by this sequence (allocator/COW invariant), so no
+    # other cell's DMA can race this write
+    pltpu.make_async_copy(
+        kp_ref.at[wp, :, pl.ds(al, 8), :], tok_k, asem.at[0]).wait()
+    pltpu.make_async_copy(
+        vp_ref.at[wp, :, pl.ds(al, 8), :], tok_v, asem.at[1]).wait()
+    hit = jax.lax.broadcasted_iota(jnp.int32, (KVH, 8, D), 1) == (woff - al)
+    tok_k[...] = jnp.where(hit, nk_ref[0, 0][:, None, :], tok_k[...])
+    tok_v[...] = jnp.where(hit, nv_ref[0, 0][:, None, :], tok_v[...])
     kc = pltpu.make_async_copy(
-        nk_ref.at[0], ko_ref.at[wp, :, pl.ds(off, 1), :], sems.at[slot, 0]
-    )
+        tok_k, ko_ref.at[wp, :, pl.ds(al, 8), :], asem.at[2])
     vc = pltpu.make_async_copy(
-        nv_ref.at[0], vo_ref.at[wp, :, pl.ds(off, 1), :], sems.at[slot, 1]
-    )
+        tok_v, vo_ref.at[wp, :, pl.ds(al, 8), :], asem.at[3])
     kc.start()
     vc.start()
     kc.wait()
@@ -214,16 +233,16 @@ def fused_paged_decode_attention(
             sm_scale=sm_scale, sliding_window=sliding_window)
 
     qg = q.reshape(B, KVH, G, D).astype(jnp.bfloat16)
-    nk = new_k.reshape(B, KVH, 1, D).astype(k_pages.dtype)
-    nv = new_v.reshape(B, KVH, 1, D).astype(v_pages.dtype)
+    nk = new_k.reshape(B, 1, KVH, D).astype(k_pages.dtype)
+    nv = new_v.reshape(B, 1, KVH, D).astype(v_pages.dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, KVH, G, D), lambda b, lens, tabs: (b, 0, 0, 0)),
-            pl.BlockSpec((1, KVH, 1, D), lambda b, lens, tabs: (b, 0, 0, 0)),
-            pl.BlockSpec((1, KVH, 1, D), lambda b, lens, tabs: (b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, KVH, D), lambda b, lens, tabs: (b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, KVH, D), lambda b, lens, tabs: (b, 0, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -235,7 +254,10 @@ def fused_paged_decode_attention(
         scratch_shapes=[
             pltpu.VMEM((2, KVH, T, D), k_pages.dtype),
             pltpu.VMEM((2, KVH, T, D), v_pages.dtype),
+            pltpu.VMEM((KVH, 8, D), k_pages.dtype),
+            pltpu.VMEM((KVH, 8, D), v_pages.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     out, k_pages, v_pages = pl.pallas_call(

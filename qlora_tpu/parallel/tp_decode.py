@@ -44,9 +44,11 @@ CACHE_SPECS = {
     "length": P(),
 }
 
+# per-LAYER pool entries [np, KVH, P, hd] (the pools are python lists of
+# per-layer arrays; a P leaf acts as a tree prefix over the list)
 PAGED_CACHE_SPECS = {
-    "k_pages": P(None, None, "tp", None, None),  # [L, np, KVH, P, hd]
-    "v_pages": P(None, None, "tp", None, None),
+    "k_pages": P(None, "tp", None, None),
+    "v_pages": P(None, "tp", None, None),
     "tables": P(),
     "length": P(),
 }

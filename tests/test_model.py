@@ -143,3 +143,38 @@ def test_qwen2_style_bias_init():
     ids = jnp.asarray([[1, 2, 3]], jnp.int32)
     logits, _ = forward(params, None, ids, cfg)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_unrolled_decode_matches_scan_decode():
+    """forward() over per-layer (unstacked) trees ≡ the lax.scan path on
+    the cache decode, within bf16 fusion-boundary tolerance (the serving
+    engines run unrolled — models/unstack.py)."""
+    import numpy as np
+
+    from qlora_tpu.models.transformer import init_cache
+    from qlora_tpu.models.unstack import (
+        unstack_cache, unstack_lora, unstack_params,
+    )
+
+    cfg = get_config("debug")
+    params = init_params(jax.random.PRNGKey(0), cfg, quantized=True)
+    lora = init_lora_params(jax.random.PRNGKey(1), cfg, LoraConfig(r=4))
+    B, S, T = 2, 6, 32
+    ids = jax.random.randint(jax.random.PRNGKey(1), (B, S), 0, cfg.vocab_size)
+    cache = init_cache(cfg, B, T)
+    logits, cache = forward(params, lora, ids, cfg, LoraConfig(r=4),
+                            cache=cache)
+    cache = dict(cache, length=jnp.full((B,), S, jnp.int32))
+    pu = unstack_params(params)
+    lu = unstack_lora(lora, cfg.num_layers)
+    cu = unstack_cache(cache)
+    assert isinstance(pu["blocks"], list) and len(pu["blocks"]) == cfg.num_layers
+    assert unstack_params(pu) is pu      # idempotent
+    tok = jnp.argmax(logits[:, -1], -1)[:, None].astype(jnp.int32)
+    for _ in range(3):
+        l1, cache = forward(params, lora, tok, cfg, LoraConfig(r=4),
+                            cache=cache)
+        l2, cu = forward(pu, lu, tok, cfg, LoraConfig(r=4), cache=cu)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                                   atol=5e-2, rtol=5e-2)
+        tok = jnp.argmax(l1[:, 0], -1)[:, None].astype(jnp.int32)

@@ -195,9 +195,12 @@ def test_paged_cow_reorder_reconstructs_contiguous_kv():
     lengths = jnp.asarray([5, 3])
     Sp = 6                                    # PB = 3 pages per row
     R = B * k
+    from qlora_tpu.models.unstack import unstack_cache
+
     kbuf = jnp.asarray(rng.normal(size=(L, B, KVH, Sp, hd)), jnp.float32)
     vbuf = jnp.asarray(rng.normal(size=(L, B, KVH, Sp, hd)), jnp.float32)
     cache, W0, W = _build_paged_beam_cache(kbuf, vbuf, lengths, k, T, ps)
+    cache = unstack_cache(cache)   # per-layer pool lists (production form)
 
     # contiguous reference: per-beam KV buffers, token-major for the sim
     ck = np.repeat(np.asarray(jnp.transpose(kbuf, (0, 1, 3, 2, 4))),
@@ -222,12 +225,13 @@ def test_paged_cow_reorder_reconstructs_contiguous_kv():
         block = pos // ps
         page = jnp.take_along_axis(cache["tables"], block[:, None], 1)[:, 0]
         off = pos % ps
-        # pool [L, NP, KVH, ps, hd]: advanced indices (page@1, off@3) are
-        # non-adjacent, so the broadcast [R] axis moves to the FRONT
-        kp = cache["k_pages"].at[:, page, :, off].set(
-            jnp.asarray(k1).transpose(1, 0, 2, 3))
-        vp = cache["v_pages"].at[:, page, :, off].set(
-            jnp.asarray(v1).transpose(1, 0, 2, 3))
+        # per-layer pool entry [NP, KVH, ps, hd]: advanced indices
+        # (page@0, off@2) are non-adjacent, so the broadcast [R] axis
+        # moves to the FRONT — value is [R, KVH, hd] per layer
+        kp = [x.at[page, :, off].set(jnp.asarray(k1[l]))
+              for l, x in enumerate(cache["k_pages"])]
+        vp = [x.at[page, :, off].set(jnp.asarray(v1[l]))
+              for l, x in enumerate(cache["v_pages"])]
         cache = dict(cache, k_pages=kp, v_pages=vp, length=pos + 1)
         ck[np.arange(L)[:, None], np.arange(R)[None, :], clen] = k1
         cv[np.arange(L)[:, None], np.arange(R)[None, :], clen] = v1
@@ -235,8 +239,8 @@ def test_paged_cow_reorder_reconstructs_contiguous_kv():
 
         # reconstruct each beam's logical KV from (pages, tables)
         tb = np.asarray(cache["tables"])                   # [R, MP]
-        kpg = np.asarray(cache["k_pages"])                 # [L,NP,KVH,ps,hd]
-        vpg = np.asarray(cache["v_pages"])
+        kpg = np.stack([np.asarray(x) for x in cache["k_pages"]])
+        vpg = np.stack([np.asarray(x) for x in cache["v_pages"]])
         for r in range(R):
             n = int(clen[r])
             got_k = kpg[:, tb[r]].transpose(0, 2, 1, 3, 4).reshape(

@@ -110,10 +110,13 @@ def test_tp_paged_decode_matches_single_device():
     B, S = 2, 6
     ids = jax.random.randint(jax.random.PRNGKey(2), (B, S), 0, cfg.vocab_size)
 
+    from qlora_tpu.models.unstack import unstack_cache
+
     cache = init_cache(cfg, B, 32)
     logits_p, cache = forward(params, None, ids, cfg, LCFG, cache=cache)
     cache = dict(cache, length=jnp.full((B,), S, jnp.int32))
-    paged_ref = _paged_from_contiguous(cache, cfg)
+    # per-layer pool lists (production form; PAGED_CACHE_SPECS are 4-D)
+    paged_ref = unstack_cache(_paged_from_contiguous(cache, cfg))
 
     mesh = make_tp_mesh(2)
     p_tp = shard_decode_params(params, mesh)
@@ -155,8 +158,9 @@ def test_paged_batcher_over_tp_mesh():
     assert all(len(r.generated) == 6 for r in done)
     assert b.pool.n_free == free0          # every page recycled
     # the pools stayed head-sharded through the whole loop
-    shard = b.pool.k_pages.addressable_shards[0].data
-    assert shard.shape[2] == cfg.num_kv_heads // 2
+    shard = b.pool.k_pages[0].addressable_shards[0].data
+    # per-layer pool entry [np, KVH, P, hd]: heads at axis 1
+    assert shard.shape[1] == cfg.num_kv_heads // 2
 
 
 def test_paged_batcher_tp_int8_decode():
