@@ -190,7 +190,7 @@ def main():
                 return jnp.sum(o.astype(jnp.float32) * xs)
             return jax.jit(f)
 
-        t = _slope(mk_i8, r1=3200, r2=6400, tries=6)
+        t = _slope(mk_i8, r1=1200, r2=2400, tries=6)
         head_gbps = i8_bytes / t / 1e9
         m = {
             "metric": "decode_serving_weight_read",
@@ -276,21 +276,23 @@ def main():
 
     _guard("nf4_bwd", _nf4_bwd)
 
-    # 4) flash attention MFU at the 7B training shape (S=2048, causal).
-    # Scan of R serially-dependent calls in one dispatch; slope isolates
-    # device time (same rationale as _scan_slope).
-    _guard("flash_metrics", lambda: extras.extend(_flash_metrics()))
-
-    # 5+6) PRODUCT metrics (BASELINE.json headline: "NF4 decode tokens/s/chip
+    # 4) PRODUCT metrics (BASELINE.json headline: "NF4 decode tokens/s/chip
     # and finetune step-time at 7B"): full 7B-class model, one jit'd loop of
-    # R steps — slope isolates device time.  Guarded: a failure here must
-    # not kill the microkernel metrics.  Skipped outright if the remaining
-    # budget can't cover the two 7B compiles (observed ~3 min warm / ~8 min
-    # cold each) — a partial line beats a timeout with no line.
+    # R steps — slope isolates device time.  Ordered BEFORE flash: the
+    # decode tokens/s numbers are the round's primary deliverable and the
+    # relay can stall any section for minutes — the watchdog must not
+    # starve them.  Guarded: a failure here must not kill the microkernel
+    # metrics.
     if _remaining() > float(os.environ.get("QLORA_BENCH_PRODUCT_MIN", "300")):
         _guard("product_metrics", lambda: extras.extend(_product_metrics()))
     else:
         _log("skipping product metrics: insufficient budget remaining")
+
+    # 5) flash attention MFU at the 7B training shape (S=2048, causal).
+    if _remaining() > 120:
+        _guard("flash_metrics", lambda: extras.extend(_flash_metrics()))
+    else:
+        _log("skipping flash metrics: insufficient budget remaining")
 
     # 7) serving engine as a SYSTEM: PagedBatcher under a saturating
     # arrival trace — time-to-first-token and sustained tokens/s with
@@ -674,7 +676,7 @@ def _serving_metrics():
     params = init_params(jax.random.PRNGKey(0), cfg, quantized=True)
     slots, n_req, plen, new = (16, 24, 384, 32) if not small else (2, 4, 12, 4)
     pb = PagedBatcher(
-        params, None, cfg, num_slots=slots, n_pages=320 if not small else 32,
+        params, None, cfg, num_slots=slots, n_pages=256 if not small else 32,
         page_size=64 if not small else 8, max_pages_per_seq=12,
         prefill_buckets=(512,) if not small else (16,), eos_id=-1,
         decode_impl="int8" if not small else None,   # offline per-column

@@ -246,19 +246,46 @@ class PagedBatcher:
             self.pool.v_pages = [jax.device_put(x, pool_spec)
                                  for x in self.pool.v_pages]
         else:
-            self.decode_params = params
+            from qlora_tpu.models.unstack import unstack_lora, unstack_params
+
+            # per-layer decode trees: forward() unrolls the layer loop with
+            # no scan slice copies (the single-chip serving fast path)
             if decode_impl == "int8":
                 from qlora_tpu.generate.serve_int8 import (
-                    requantize_params_int8,
+                    requantize_params_int8_unstacked,
                 )
 
-                self.decode_params = requantize_params_int8(params)
+                self.decode_params = requantize_params_int8_unstacked(params)
+            else:
+                self.decode_params = unstack_params(params)
+            self._dec_lora = unstack_lora(lora, cfg.num_layers)
+            self._decode_jit = self._make_decode_jit()
         self.slot_req = [None] * num_slots
         self.slot_uid = [0] * num_slots          # 0 = free (uid 0 reserved)
         self.last_tokens = np.zeros((num_slots,), np.int32)
         self.lengths = np.zeros((num_slots,), np.int32)
         self.queue = []
         self._uid = 0
+
+    def _make_decode_jit(self):
+        import contextlib
+        import functools
+
+        from qlora_tpu.models.transformer import forward
+        from qlora_tpu.ops.qmatmul import default_impl
+
+        # donate the cache: the pools flow through the kernels' aliased
+        # outputs in place instead of XLA double-buffering ~GBs of pool
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def decode(dec_params, lora, cache, toks):
+            ctx = (default_impl("w8a8") if self.decode_impl
+                   else contextlib.nullcontext())
+            with ctx:
+                logits, cache = forward(dec_params, lora, toks, self.cfg,
+                                        self.lcfg, cache=cache)
+            return logits, cache
+
+        return decode
 
     def submit(self, prompt, max_new_tokens=128, on_token=None):
         self._uid += 1
@@ -369,14 +396,10 @@ class PagedBatcher:
                 jnp.asarray(self.last_tokens)[:, None], cache,
             )
         else:
-            ctx = (default_impl("w8a8") if self.decode_impl
-                   else contextlib.nullcontext())
-            with ctx:
-                logits, cache = forward(
-                    self.decode_params, self.lora,
-                    jnp.asarray(self.last_tokens)[:, None], self.cfg,
-                    self.lcfg, cache=cache,
-                )
+            logits, cache = self._decode_jit(
+                self.decode_params, self._dec_lora, cache,
+                jnp.asarray(self.last_tokens)[:, None],
+            )
         self.pool.update_from(cache)
         toks = np.asarray(sample_token(sub, logits[:, 0], self.sparams))
         finished = []

@@ -49,6 +49,31 @@ def requantize_linear_int8(lin: QLinear, k_shards: int = 1) -> QLinear:
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_layer)
 
 
+def requantize_params_int8_unstacked(params: dict) -> dict:
+    """Serving copy with ``blocks`` as a PER-LAYER list, built layer by
+    layer so the stacked and unstacked int8 trees never coexist (the
+    stacked-then-split path peaks ~6.7 GB higher at 7B — enough to OOM a
+    16 GB chip next to the NF4 tree and the KV pools).  The list form is
+    what forward()'s unrolled decode path consumes (models/unstack.py)."""
+    blocks = params["blocks"]
+    n_layers = jax.tree_util.tree_leaves(blocks)[0].shape[0]
+
+    def one_linear(lin_l):
+        w = dequantize(lin_l.qt, jnp.float32)
+        qt = quantize(w, block_size=w.shape[0], quant_type="int8",
+                      double_quant=False)
+        return QLinear(qt=qt, bias=lin_l.bias)
+
+    out = []
+    for i in range(n_layers):
+        bl = {}
+        for name, v in blocks.items():
+            v_i = jax.tree_util.tree_map(lambda a: a[i], v)
+            bl[name] = one_linear(v_i) if isinstance(v, QLinear) else v_i
+        out.append(bl)
+    return dict(params, blocks=out)
+
+
 def requantize_params_int8(params: dict, row_parallel_k_shards: int = 1) -> dict:
     """Serving copy of the model params with every QLinear per-column int8.
 
