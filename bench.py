@@ -120,6 +120,19 @@ def _slope(make_fn, r1=8, r2=56, tries=8, max_grow=3):
     return max((ts[r2] - ts[r1]) / (r2 - r1), 1e-9)
 
 
+def _mfu_slope(mk, r1, r2, tries, flops):
+    """Slope → MFU with ONE doubled-reps retry if the first read lands
+    above 1.0 (noise can overshoot a true ~0.93 even above the dispatch
+    floor; a retry at 2× reps resolves it before _push has to flag)."""
+    for scale in (1, 2):
+        t = _slope(mk, r1 * scale, r2 * scale, tries)
+        mfu = flops / t / (MXU_BF16_TFLOPS * 1e12)
+        if mfu <= 1.0:
+            return mfu
+        _log(f"mfu {mfu:.3f} > 1.0 at r1={r1 * scale}; retrying doubled")
+    return mfu
+
+
 def _push(extras, metric):
     """Append a metric with a physical-plausibility rail: every vs_baseline
     here is a fraction of a hardware bound (MXU peak / HBM speed-of-light),
@@ -241,8 +254,7 @@ def main():
                 qt.shape, qt.block_size, qt.quant_type, reps=R,
                 tkp_max=2048, tn_max=256).astype(jnp.float32)))
 
-        t3 = _slope(mk_train, r1=400, r2=800, tries=6)
-        mfu = 2 * M3 * K * N / t3 / (MXU_BF16_TFLOPS * 1e12)
+        mfu = _mfu_slope(mk_train, 400, 800, 6, 2 * M3 * K * N)
         _push(extras, {
             "metric": "nf4_train_regime_mxu_util_m1024",
             "value": round(mfu, 3), "unit": "fraction_of_bf16_peak",
@@ -266,8 +278,7 @@ def main():
                 qt.block_size, qt.quant_type, reps=R, tk=512, tn=2048,
                 tm_max=1024).astype(jnp.float32)))
 
-        tb = _slope(mk_bwd, r1=640, r2=1280, tries=5)
-        mfu = 2 * Mb * K * N / tb / (MXU_BF16_TFLOPS * 1e12)
+        mfu = _mfu_slope(mk_bwd, 640, 1280, 5, 2 * Mb * K * N)
         _push(extras, {
             "metric": "nf4_bwd_mxu_util_m1024",
             "value": round(mfu, 3), "unit": "fraction_of_bf16_peak",
@@ -692,6 +703,15 @@ def _serving_metrics():
             if key not in t_first:
                 t_first[key] = time.perf_counter()
         return cb
+
+    # warmup: one throwaway wave pays the prefill/decode compiles so the
+    # measured trace reflects the serving system, not the compiler (cold
+    # compiles on this relay run minutes and buried the first trial's
+    # numbers: 12.6 tok/s, 44 s median TTFT)
+    for _ in range(2):
+        pb.submit(rng.integers(1, cfg.vocab_size, size=plen).tolist(),
+                  max_new_tokens=2)
+    pb.run_to_completion()
 
     t0 = time.perf_counter()
     reqs = []
