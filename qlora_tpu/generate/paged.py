@@ -154,7 +154,8 @@ class PagedBatcher:
                  n_pages=512, page_size=64, max_pages_per_seq=16,
                  prefill_buckets=(128, 256, 512), eos_id=2, sparams=None,
                  seed=0, decode_impl=None, prefill_impl=None,
-                 rolling_eviction=True, tp_mesh=None):
+                 rolling_eviction=True, tp_mesh=None,
+                 steps_per_dispatch=1):
         # num_slots defaults to 128: the decode matmul's M dim equals the
         # slot count, and the fused NF4 kernel's MXU cost at M=16 equals
         # M=128 (row padding) — batching to M≈128 is ~free throughput ×8
@@ -191,6 +192,12 @@ class PagedBatcher:
         # tensor-parallel serving: megatron-shard the params over a ("tp",)
         # mesh, head-shard the page pools, and route prefill/decode through
         # shard_map forwards (models bigger than one chip's HBM)
+        # multi-step scheduling: run N decode steps inside ONE dispatch
+        # (greedy within the burst; tokens emitted after it).  Amortizes
+        # the host/relay per-dispatch cost across N tokens — admissions
+        # and EOS retirement happen at burst boundaries, so TTFT trades
+        # against sustained tokens/s exactly as in production engines.
+        self.steps_per_dispatch = max(int(steps_per_dispatch), 1)
         self.tp_mesh = tp_mesh
         self._tp_prefill_fn = self._tp_decode_fn = None
         if tp_mesh is not None:
@@ -274,6 +281,10 @@ class PagedBatcher:
         from qlora_tpu.models.transformer import forward
         from qlora_tpu.ops.qmatmul import default_impl
 
+        from qlora_tpu.generate.sampler import sample_token
+
+        N = self.steps_per_dispatch
+
         # donate the cache: the pools flow through the kernels' aliased
         # outputs in place instead of XLA double-buffering ~GBs of pool
         @functools.partial(jax.jit, donate_argnums=(2,))
@@ -285,6 +296,29 @@ class PagedBatcher:
                                         self.lcfg, cache=cache)
             return logits, cache
 
+        self._decode_burst = None
+        if N == 1:
+            return decode
+
+        # multi-step burst: N sampled decode steps inside one dispatch
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def decode_burst(dec_params, lora, cache, toks, rng):
+            ctx = (default_impl("w8a8") if self.decode_impl
+                   else contextlib.nullcontext())
+            with ctx:
+                def body(carry, i):
+                    cache, toks = carry
+                    logits, cache = forward(dec_params, lora, toks, self.cfg,
+                                            self.lcfg, cache=cache)
+                    tok = sample_token(jax.random.fold_in(rng, i),
+                                       logits[:, 0], self.sparams)
+                    return (cache, tok[:, None]), tok
+
+                (cache, _), toks_all = jax.lax.scan(
+                    body, (cache, toks), jnp.arange(N))
+            return toks_all, cache                     # [N, slots], cache
+
+        self._decode_burst = decode_burst
         return decode
 
     def submit(self, prompt, max_new_tokens=128, on_token=None):
@@ -376,6 +410,18 @@ class PagedBatcher:
         # grow page tables for slots about to write position `length`;
         # sliding-window models roll: pages fully behind the window free up
         window = self.cfg.sliding_window if self.rolling_eviction else None
+        cap = self.pool.max_pages_per_seq * self.pool.page_size
+        # burst only when every active slot has room for N tokens (static
+        # shapes: the 1-step and N-step programs are each compiled once)
+        n = self.steps_per_dispatch
+        if n > 1 and self._tp_decode_fn is None:
+            room = min((cap - 1 - int(self.lengths[s])
+                        for s, r in enumerate(self.slot_req) if r is not None),
+                       default=0)
+            if room < n:
+                n = 1
+        else:
+            n = 1
         for slot, r in enumerate(self.slot_req):
             if r is not None:
                 if window:
@@ -383,34 +429,47 @@ class PagedBatcher:
                         self.slot_uid[slot],
                         int(self.lengths[slot]) + 1 - window,
                     )
-                self.pool.extend(self.slot_uid[slot], int(self.lengths[slot]) + 1)
+                self.pool.extend(self.slot_uid[slot],
+                                 int(self.lengths[slot]) + n)
         cache = self.pool.decode_cache(self.slot_uid, self.lengths)
         self.rng, sub = jax.random.split(self.rng)
-        import contextlib
-
-        from qlora_tpu.ops.qmatmul import default_impl
 
         if self._tp_decode_fn is not None:
             logits, cache = self._tp_decode_fn(
                 self.decode_params, self.lora,
                 jnp.asarray(self.last_tokens)[:, None], cache,
             )
+            toks_all = np.asarray(
+                sample_token(sub, logits[:, 0], self.sparams))[None]
+        elif n > 1:
+            toks_all, cache = self._decode_burst(
+                self.decode_params, self._dec_lora, cache,
+                jnp.asarray(self.last_tokens)[:, None], sub,
+            )
+            toks_all = np.asarray(toks_all)            # [n, slots]
         else:
             logits, cache = self._decode_jit(
                 self.decode_params, self._dec_lora, cache,
                 jnp.asarray(self.last_tokens)[:, None],
             )
+            toks_all = np.asarray(
+                sample_token(sub, logits[:, 0], self.sparams))[None]
         self.pool.update_from(cache)
-        toks = np.asarray(sample_token(sub, logits[:, 0], self.sparams))
+        active_at_start = [r is not None for r in self.slot_req]
+        for k in range(toks_all.shape[0]):
+            for slot, req in enumerate(self.slot_req):
+                if req is None or not active_at_start[slot]:
+                    continue
+                tok = int(toks_all[k, slot])
+                if not req.done:
+                    self._emit(req, tok)
+                self.last_tokens[slot] = tok
         finished = []
         for slot, req in enumerate(self.slot_req):
-            if req is None:
+            if req is None or not active_at_start[slot]:
                 continue
-            self.lengths[slot] += 1
-            tok = int(toks[slot])
-            self._emit(req, tok)
-            self.last_tokens[slot] = tok
-            cap = self.pool.max_pages_per_seq * self.pool.page_size
+            # the DEVICE advanced every active slot by the full burst
+            self.lengths[slot] += toks_all.shape[0]
             if req.done or self.lengths[slot] >= cap - 1:
                 req.done = True
                 finished.append(req)

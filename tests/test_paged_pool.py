@@ -208,3 +208,30 @@ def test_sliding_window_page_eviction_allows_long_generation():
     r2 = ref.submit(prompt, max_new_tokens=n_new)
     ref.run_to_completion()
     assert r.generated == r2.generated
+
+
+def test_decode_bursts_match_single_step():
+    """steps_per_dispatch > 1 (multi-step scheduling: N sampled decode
+    steps per dispatch) produces the same tokens as the single-step
+    batcher — same kernel, greedy sampling, same admission order."""
+    from qlora_tpu.generate.paged import PagedBatcher
+
+    cfg = get_config("debug")
+    params = init_params(jax.random.PRNGKey(0), cfg, quantized=True)
+
+    def run(spd):
+        pb = PagedBatcher(params, None, cfg, num_slots=2, n_pages=64,
+                          page_size=8, max_pages_per_seq=8,
+                          prefill_buckets=(16,), eos_id=-1,
+                          steps_per_dispatch=spd)
+        rs = [pb.submit([3, 17, 5, 9], max_new_tokens=7),
+              pb.submit([4, 7], max_new_tokens=5),
+              pb.submit([11, 2, 6], max_new_tokens=6)]
+        pb.run_to_completion()
+        assert pb.pool.n_free == 63
+        return [r.generated for r in rs]
+
+    single = run(1)
+    burst = run(4)
+    assert single == burst, (single, burst)
+    assert [len(g) for g in single] == [7, 5, 6]
