@@ -693,6 +693,9 @@ def _serving_metrics():
         decode_impl="int8" if not small else None,   # offline per-column
         # int8 serving copy (the production decode path; w8a8's in-kernel
         # requant loses at slot-batch M and doubles nothing)
+        prefill_impl="w8a8" if not small else None,  # int8 prefill: the
+        # trace is prefill-heavy (384-token prompts, 32 generated) and the
+        # exact-NF4 kernel's small-M regime made prefill the binder
         steps_per_dispatch=8 if not small else 1,    # multi-step
         # scheduling: amortize the relay's ~30 ms per-dispatch cost over 8
         # decode tokens (admissions/retirement at burst boundaries)

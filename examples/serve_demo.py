@@ -54,6 +54,11 @@ def main():
     ap.add_argument("--n_pages", type=int, default=2048)
     ap.add_argument("--page_size", type=int, default=16)
     ap.add_argument("--max_new_tokens", type=int, default=128)
+    ap.add_argument("--steps_per_dispatch", type=int, default=1,
+                    help="decode tokens generated per device dispatch "
+                         "(multi-step scheduling: amortizes host/dispatch "
+                         "overhead; admissions/EOS retire at burst "
+                         "boundaries — single-chip serving only)")
     ap.add_argument("--tp", type=int, default=1,
                     help="tensor-parallel chips (>1: megatron-sharded "
                          "serving for models bigger than one chip; "
@@ -88,6 +93,7 @@ def main():
         sparams=SamplingParams(do_sample=True, temperature=args.temperature,
                                top_p=args.top_p),
         tp_mesh=tp_mesh,
+        steps_per_dispatch=args.steps_per_dispatch,
     )
 
     if args.prompts:
