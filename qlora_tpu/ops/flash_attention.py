@@ -147,17 +147,28 @@ def _fwd_kernel(
         ).astype(o_ref.dtype)
         # single FlashAttention-2-style residual: lse = m + log(l) — halves
         # the stats HBM traffic vs separate l/m (the [B,H,S,128] f32 writes
-        # were ~30% of fwd kernel time at S=2048).
-        lse_ref[0, 0] = jnp.where(
-            empty, 3e38, m_scr[:] + jnp.log(l_scr[:])
-        )
+        # were ~30% of fwd kernel time at S=2048).  Inference fwd calls
+        # skip the residual entirely (lse_ref None): pallas outputs cannot
+        # be DCE'd, and the [B,H,S,128] f32 write is ~13% of the call's
+        # HBM traffic — measured 0.544 -> 0.585 MFU at S=2048 on v5e.
+        if lse_ref is not None:
+            lse_ref[0, 0] = jnp.where(
+                empty, 3e38, m_scr[:] + jnp.log(l_scr[:])
+            )
+
+
+def _fwd_kernel_nolse(q_ref, k_ref, v_ref, kvlen_ref, o_ref,
+                      m_scr, l_scr, acc_scr, **kw):
+    _fwd_kernel(q_ref, k_ref, v_ref, kvlen_ref, o_ref, None,
+                m_scr, l_scr, acc_scr, **kw)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sm_scale", "causal", "block_q", "block_k", "window")
+    jax.jit, static_argnames=("sm_scale", "causal", "block_q", "block_k",
+                              "window", "with_lse")
 )
 def _flash_fwd(q, k, v, kv_lengths, sm_scale, causal, block_q, block_k,
-               window=None):
+               window=None, with_lse=True):
     B, H, Sq, D = q.shape
     KVH = k.shape[1]
     G = H // KVH          # GQA: query heads per kv head (kernel-side grouping)
@@ -168,11 +179,15 @@ def _flash_fwd(q, k, v, kv_lengths, sm_scale, causal, block_q, block_k,
     bk = block_k if Skv % block_k == 0 else min(block_k, _pick(Skv))
     grid = (B, H, Sq // bq, Skv // bk)
 
-    out, lse = pl.pallas_call(
-        functools.partial(
-            _fwd_kernel, sm_scale=sm_scale, causal=causal,
-            block_q=bq, block_k=bk, kv_len=Skv, window=window,
-        ),
+    o_spec = pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0))
+    o_shape = jax.ShapeDtypeStruct((B, H, Sq, D), q.dtype)
+    kern = functools.partial(
+        _fwd_kernel if with_lse else _fwd_kernel_nolse,
+        sm_scale=sm_scale, causal=causal,
+        block_q=bq, block_k=bk, kv_len=Skv, window=window,
+    )
+    res = pl.pallas_call(
+        kern,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0)),
@@ -180,14 +195,12 @@ def _flash_fwd(q, k, v, kv_lengths, sm_scale, causal, block_q, block_k,
             pl.BlockSpec((1, 1, bk, D), lambda b, h, i, j: (b, h // G, j, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0)),
+        out_specs=[o_spec] + ([
             pl.BlockSpec((1, 1, bq, 128), lambda b, h, i, j: (b, h, i, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, H, Sq, D), q.dtype),
+        ] if with_lse else []),
+        out_shape=[o_shape] + ([
             jax.ShapeDtypeStruct((B, H, Sq, 128), jnp.float32),
-        ],
+        ] if with_lse else []),
         scratch_shapes=[
             pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.VMEM((bq, 128), jnp.float32),
@@ -199,7 +212,9 @@ def _flash_fwd(q, k, v, kv_lengths, sm_scale, causal, block_q, block_k,
         ),
         interpret=_use_interpret(),
     )(q, k, v, kv_lengths.reshape(-1, 1))
-    return out, lse
+    if with_lse:
+        return res
+    return res[0], None
 
 
 # ---------------------------------------------------------------------------
@@ -434,8 +449,10 @@ def flash_attention(
                           # amortize the VPU softmax against more MXU work
     window: int | None = None,  # Mistral-style sliding window
 ) -> jax.Array:
+    # primal (inference) path: skip the lse residual output — the vjp fwd
+    # rule below recomputes with with_lse=True when grads are needed
     out, _ = _flash_fwd(q, k, v, kv_lengths, sm_scale, causal, block_q,
-                        block_k, window)
+                        block_k, window, with_lse=False)
     return out
 
 
