@@ -414,6 +414,7 @@ class PagedBatcher:
     def _admit(self):
         from qlora_tpu.generate.sampler import sample_token
 
+        pending = []
         for slot in range(self.num_slots):
             if self.slot_req[slot] is not None or not self.queue:
                 continue
@@ -456,21 +457,30 @@ class PagedBatcher:
                     self.pool.v_pages)
                 self.pool.k_pages = list(kp)
                 self.pool.v_pages = list(vp)
-                tok = int(tok_d)
-            else:
-                last, k, v = self._prefill_kv(jnp.asarray(ids), jnp.int32(L),
-                                              bucket)
-                self.pool.allocate(uid, L + 1)
-                self.pool.write_prefill(uid, k[:, :, :L], v[:, :, :L])
-                tok = int(sample_token(sub, last[None], self.sparams)[0])
-            self._emit(req, tok)
-            if req.done:
-                self.pool.release(uid)
+                # async dispatch: do NOT block on the sampled token here —
+                # resolving int(tok_d) per admission serializes one host
+                # round-trip per prompt; deferring lets consecutive
+                # prefill dispatches pipeline on the device
+                pending.append((slot, req, uid, L, tok_d))
                 continue
-            self.slot_req[slot] = req
-            self.slot_uid[slot] = uid
-            self.last_tokens[slot] = tok
-            self.lengths[slot] = L
+            last, k, v = self._prefill_kv(jnp.asarray(ids), jnp.int32(L),
+                                          bucket)
+            self.pool.allocate(uid, L + 1)
+            self.pool.write_prefill(uid, k[:, :, :L], v[:, :, :L])
+            tok = int(sample_token(sub, last[None], self.sparams)[0])
+            self._finish_admit(slot, req, uid, L, tok)
+        for slot, req, uid, L, tok_d in pending:
+            self._finish_admit(slot, req, uid, L, int(tok_d))
+
+    def _finish_admit(self, slot, req, uid, L, tok):
+        self._emit(req, tok)
+        if req.done:
+            self.pool.release(uid)
+            return
+        self.slot_req[slot] = req
+        self.slot_uid[slot] = uid
+        self.last_tokens[slot] = tok
+        self.lengths[slot] = L
 
     def _decode_step(self):
         from qlora_tpu.models.transformer import forward
