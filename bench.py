@@ -685,7 +685,9 @@ def _serving_metrics():
         num_layers=2, num_heads=4, num_kv_heads=2,
     )
     params = init_params(jax.random.PRNGKey(0), cfg, quantized=True)
-    slots, n_req, plen, new = (16, 24, 384, 32) if not small else (2, 4, 12, 4)
+    # production-shaped mix: ~384-token prompts, 128 generated (chat traces
+    # are output-weighted; 24 requests > 16 slots keeps admission pressure)
+    slots, n_req, plen, new = (16, 24, 384, 128) if not small else (2, 4, 12, 4)
     pb = PagedBatcher(
         params, None, cfg, num_slots=slots, n_pages=256 if not small else 32,
         page_size=64 if not small else 8, max_pages_per_seq=12,

@@ -186,6 +186,9 @@ class ContinuousBatcher:
             jnp.asarray(self.last_tokens), jnp.asarray(active), self.rng,
         )
         toks = np.asarray(toks)
+        # ONE device->host transfer for the post-step lengths (a per-slot
+        # np.asarray inside the loop cost num_slots syncs per decode step)
+        lengths = np.asarray(self.cache["length"])
         finished = []
         for slot, req in enumerate(self.slot_req):
             if req is None:
@@ -193,7 +196,7 @@ class ContinuousBatcher:
             tok = int(toks[slot])
             self._emit(req, tok)
             self.last_tokens[slot] = tok
-            at_cap = int(np.asarray(self.cache["length"])[slot]) >= self.max_len - 1
+            at_cap = int(lengths[slot]) >= self.max_len - 1
             if req.done or at_cap:
                 req.done = True
                 finished.append(req)
