@@ -53,6 +53,11 @@ def main():
                          "bucket-size M, ~1.2%% rel err); default exact bf16")
     ap.add_argument("--n_pages", type=int, default=2048)
     ap.add_argument("--page_size", type=int, default=16)
+    ap.add_argument("--max_pages_per_seq", type=int, default=64,
+                    help="per-sequence token cap = max_pages_per_seq x "
+                         "page_size (default 64 x 16 = 1024 tokens; "
+                         "PagedBatcher's own default of 16 pages assumes "
+                         "the bigger 64-token pages)")
     ap.add_argument("--max_new_tokens", type=int, default=128)
     ap.add_argument("--steps_per_dispatch", type=int, default=1,
                     help="decode tokens generated per device dispatch "
@@ -89,6 +94,7 @@ def main():
         params, lora, cfg, lcfg,
         num_slots=args.num_slots, n_pages=args.n_pages, decode_impl=args.decode_impl,
         prefill_impl=args.prefill_impl, page_size=args.page_size,
+        max_pages_per_seq=args.max_pages_per_seq,
         eos_id=tokenizer.eos_token_id,
         sparams=SamplingParams(do_sample=True, temperature=args.temperature,
                                top_p=args.top_p),

@@ -139,7 +139,9 @@ class ContinuousBatcher:
         return prefill
 
     def _make_decode(self):
-        @jax.jit
+        # donate the cache: without it XLA inserts a defensive copy of every
+        # layer's K/V planes around the aliased in-place decode kernels
+        @functools.partial(jax.jit, donate_argnums=(2,))
         def decode(params, lora, cache, last_tokens, active, rng):
             rng, sub = jax.random.split(rng)
             logits, cache = forward(

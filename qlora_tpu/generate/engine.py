@@ -244,7 +244,10 @@ def generate_stream(
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     done = np.zeros((B,), bool)
 
-    @functools.partial(jax.jit, static_argnames=())
+    # donate the cache: the per-layer lists flow through the fused decode
+    # kernels' aliased outputs in place instead of XLA defensively copying
+    # every layer's K/V planes each streamed token
+    @functools.partial(jax.jit, donate_argnums=(1,))
     def step(logits, cache, seen, rng):
         rng, sub = jax.random.split(rng)
         tok = sample_token(sub, logits, sparams, seen)

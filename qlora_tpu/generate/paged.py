@@ -483,10 +483,8 @@ class PagedBatcher:
         self.lengths[slot] = L
 
     def _decode_step(self):
-        from qlora_tpu.models.transformer import forward
         from qlora_tpu.generate.sampler import sample_token
 
-        active = [r is not None for r in self.slot_req]
         # grow page tables for slots about to write position `length`;
         # sliding-window models roll: pages fully behind the window free up
         window = self.cfg.sliding_window if self.rolling_eviction else None
@@ -535,10 +533,11 @@ class PagedBatcher:
             toks_all = np.asarray(
                 sample_token(sub, logits[:, 0], self.sparams))[None]
         self.pool.update_from(cache)
-        active_at_start = [r is not None for r in self.slot_req]
+        # slot_req does not mutate between here and retirement below, so
+        # `req is not None` alone identifies the slots this step advanced
         for k in range(toks_all.shape[0]):
             for slot, req in enumerate(self.slot_req):
-                if req is None or not active_at_start[slot]:
+                if req is None:
                     continue
                 tok = int(toks_all[k, slot])
                 if not req.done:
@@ -546,7 +545,7 @@ class PagedBatcher:
                 self.last_tokens[slot] = tok
         finished = []
         for slot, req in enumerate(self.slot_req):
-            if req is None or not active_at_start[slot]:
+            if req is None:
                 continue
             # the DEVICE advanced every active slot by the full burst
             self.lengths[slot] += toks_all.shape[0]

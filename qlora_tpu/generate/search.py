@@ -338,8 +338,8 @@ def group_beam_search(
         }
         first = jnp.repeat(last, k, axis=0)
         w0 = w = None
+        cache = unstack_cache(cache)  # paged branch arrives pre-unstacked
     # per-layer trees: the decode loop runs copy-free unrolled layers
-    cache = unstack_cache(cache)
     params = unstack_params(params)
     lora = unstack_lora(lora, cfg.num_layers)
     return _group_beam_loop(

@@ -79,7 +79,13 @@ def build_from_hub(out_dir):
 def convert_reference(src, out_dir):
     os.makedirs(out_dir, exist_ok=True)
     with open(src) as f:
-        data = json.load(f)
+        text = f.read()
+    try:
+        data = json.loads(text)
+    except json.JSONDecodeError:
+        # the reference's zero-shot file is JSON Lines (one record per
+        # line) — same format eval/mmlu.py's loader handles
+        data = [json.loads(line) for line in text.splitlines() if line.strip()]
     if isinstance(data, dict):  # columnar
         keys = list(data)
         n = len(data[keys[0]])
