@@ -235,3 +235,42 @@ def test_decode_bursts_match_single_step():
     burst = run(4)
     assert single == burst, (single, burst)
     assert [len(g) for g in single] == [7, 5, 6]
+
+
+def test_random_traffic_stress_pool_invariants():
+    """Randomized serving traffic: staggered submits, natural EOS
+    retirement, mixed prompt/output lengths, decode bursts.  Asserts the
+    allocator returns to fully-free, every request terminates within its
+    budget, and steps_per_dispatch does not change the schedule's
+    outputs (greedy)."""
+    from qlora_tpu.generate.paged import PagedBatcher
+
+    cfg = get_config("debug")
+    params = init_params(jax.random.PRNGKey(0), cfg, quantized=True)
+    rng = np.random.default_rng(7)
+    traffic = [(rng.integers(1, cfg.vocab_size, size=rng.integers(1, 20))
+                .tolist(), int(rng.integers(1, 10))) for _ in range(10)]
+
+    def run(spd):
+        pb = PagedBatcher(params, None, cfg, num_slots=3, n_pages=32,
+                          page_size=8, max_pages_per_seq=6,
+                          prefill_buckets=(8, 16, 32), eos_id=5,
+                          steps_per_dispatch=spd)
+        reqs = []
+        # staggered: two submits per engine step until the trace drains
+        queue = list(traffic)
+        while queue or pb.queue or pb.num_active:
+            for _ in range(2):
+                if queue:
+                    prompt, n = queue.pop(0)
+                    reqs.append(pb.submit(prompt, max_new_tokens=n))
+            pb.step()
+        assert pb.pool.n_free == 31          # page 0 reserved
+        assert not pb.pool.tables
+        for r, (_, n) in zip(reqs, traffic):
+            assert r.done and len(r.generated) <= n
+        return [r.generated for r in reqs]
+
+    single = run(1)
+    burst = run(4)
+    assert single == burst, (single, burst)
