@@ -1,0 +1,103 @@
+"""Serving-system trace experiments (run on the TPU chip).
+
+Mirrors bench.py's _serving_metrics trace (7B GQA int8 decode, w8a8
+prefill, 384-token prompts, 128 generated) but parameterized, to compare
+scheduler configurations before promoting one into the bench headline:
+
+  python benchmarks/serving_trace.py slots=16 n_req=24 admit_batch=1 \
+      spd=16 n_pages=256
+
+Each config is a fresh PagedBatcher (own int8 serving copy + pools);
+pass several config strings to sweep sequentially in one process.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+from qlora_tpu.utils.compile_cache import enable as _cc_enable
+
+_cc_enable(jax)
+
+import numpy as np
+
+
+def run_config(params, cfg, *, slots, n_req, admit_batch, spd, n_pages):
+    from qlora_tpu.generate.paged import PagedBatcher
+
+    pb = PagedBatcher(
+        params, None, cfg, num_slots=slots, n_pages=n_pages,
+        page_size=64, max_pages_per_seq=12, prefill_buckets=(512,),
+        eos_id=-1, decode_impl="int8", prefill_impl="w8a8",
+        steps_per_dispatch=spd, admit_batch=admit_batch,
+    )
+    rng = np.random.default_rng(0)
+    plen, new = 384, 128
+    t_first, t_submit = {}, {}
+
+    def on_token(key):
+        def cb(uid, tok):
+            if key not in t_first:
+                t_first[key] = time.perf_counter()
+        return cb
+
+    # warmup wave pays the compiles (incl. the admit_batch group program:
+    # submit admit_batch+1 requests so both group shapes compile)
+    for _ in range(max(admit_batch + 1, 2)):
+        pb.submit(rng.integers(1, cfg.vocab_size, size=plen).tolist(),
+                  max_new_tokens=2)
+    pb.run_to_completion()
+
+    t0 = time.perf_counter()
+    reqs = []
+    for i in range(n_req):
+        prompt = rng.integers(1, cfg.vocab_size, size=plen).tolist()
+        r = pb.submit(prompt, max_new_tokens=new, on_token=on_token(i))
+        t_submit[i] = time.perf_counter()
+        reqs.append(r)
+    done = pb.run_to_completion()
+    wall = time.perf_counter() - t0
+    total = sum(len(r.generated) for r in reqs)
+    ttfts = sorted(t_first[i] - t_submit[i] for i in t_first)
+    med = ttfts[len(ttfts) // 2] if ttfts else 0.0
+    assert len(done) == n_req
+    print(f"slots={slots} n_req={n_req} ab={admit_batch} spd={spd} "
+          f"pages={n_pages}:  {total / wall:7.1f} tok/s   "
+          f"median TTFT {med * 1e3:7.1f} ms   wall {wall:.2f} s",
+          flush=True)
+    del pb
+    jax.clear_caches()
+
+
+def main():
+    from qlora_tpu.models import init_params
+    from qlora_tpu.models.config import ModelConfig
+
+    cfg = ModelConfig(
+        arch="llama", vocab_size=32000, hidden_size=4096,
+        intermediate_size=14336, num_layers=32, num_heads=32,
+        num_kv_heads=8,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg, quantized=True)
+
+    configs = []
+    for arg in sys.argv[1:]:
+        kv = dict(p.split("=") for p in arg.split(","))
+        configs.append({k: int(v) for k, v in kv.items()})
+    if not configs:
+        configs = [
+            dict(slots=16, n_req=24, admit_batch=1, spd=16, n_pages=256),
+            dict(slots=16, n_req=24, admit_batch=4, spd=16, n_pages=256),
+            dict(slots=32, n_req=48, admit_batch=4, spd=16, n_pages=320),
+        ]
+    print(f"backend: {jax.default_backend()}", flush=True)
+    for c in configs:
+        run_config(params, cfg, **c)
+
+
+if __name__ == "__main__":
+    main()

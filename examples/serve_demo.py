@@ -64,6 +64,11 @@ def main():
                          "(multi-step scheduling: amortizes host/dispatch "
                          "overhead; admissions/EOS retire at burst "
                          "boundaries — single-chip serving only)")
+    ap.add_argument("--admit_batch", type=int, default=1,
+                    help="admissions prefilled per device dispatch (batched "
+                         "admission: same-bucket prompts group into one "
+                         "[admit_batch, bucket] prefill; short groups pad "
+                         "with dummy rows — single-chip serving only)")
     ap.add_argument("--tp", type=int, default=1,
                     help="tensor-parallel chips (>1: megatron-sharded "
                          "serving for models bigger than one chip; "
@@ -100,6 +105,7 @@ def main():
                                top_p=args.top_p),
         tp_mesh=tp_mesh,
         steps_per_dispatch=args.steps_per_dispatch,
+        admit_batch=args.admit_batch,
     )
 
     if args.prompts:

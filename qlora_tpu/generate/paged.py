@@ -155,7 +155,7 @@ class PagedBatcher:
                  prefill_buckets=(128, 256, 512), eos_id=2, sparams=None,
                  seed=0, decode_impl=None, prefill_impl=None,
                  rolling_eviction=True, tp_mesh=None,
-                 steps_per_dispatch=1):
+                 steps_per_dispatch=1, admit_batch=1):
         # num_slots defaults to 128: the decode matmul's M dim equals the
         # slot count, and the fused NF4 kernel's MXU cost at M=16 equals
         # M=128 (row padding) — batching to M≈128 is ~free throughput ×8
@@ -198,6 +198,13 @@ class PagedBatcher:
         # and EOS retirement happen at burst boundaries, so TTFT trades
         # against sustained tokens/s exactly as in production engines.
         self.steps_per_dispatch = max(int(steps_per_dispatch), 1)
+        # batched admission: prefill up to admit_batch same-bucket prompts
+        # in ONE dispatch of fixed group size (short groups pad with dummy
+        # rows whose pages scatter into reserved page 0) — under admission
+        # waves this amortizes the per-dispatch cost the same way
+        # steps_per_dispatch does for decode.  Singleton admissions keep
+        # the [1, bucket] program, so trickle traffic pays no padding.
+        self.admit_batch = max(int(admit_batch), 1)
         self.tp_mesh = tp_mesh
         self._tp_prefill_fn = self._tp_decode_fn = None
         if tp_mesh is not None:
@@ -268,6 +275,9 @@ class PagedBatcher:
             self._dec_lora = unstack_lora(lora, cfg.num_layers)
             self._decode_jit = self._make_decode_jit()
             self._prefill_jit = self._make_prefill_jit()
+            # jax.jit is lazy: the [admit_batch, bucket] program only
+            # compiles if a multi-admission wave actually occurs
+            self._prefill_group_jit = self._make_prefill_group_jit()
         self.slot_req = [None] * num_slots
         self.slot_uid = [0] * num_slots          # 0 = free (uid 0 reserved)
         self.last_tokens = np.zeros((num_slots,), np.int32)
@@ -374,6 +384,61 @@ class PagedBatcher:
 
         return prefill
 
+    def _make_prefill_group_jit(self):
+        """Batched admission: up to admit_batch same-bucket prompts prefill
+        in ONE dispatch — forward at [G, bucket], all layers' page scatter,
+        and the G first-token samples.  Groups shorter than G pad with
+        dummy rows (ids 0, length 1, pages all 0): their KV lands in the
+        reserved scratch page 0 and their sampled token is discarded, so
+        padding costs compute but never correctness."""
+        import contextlib
+        import functools
+
+        from qlora_tpu.generate.sampler import sample_token
+        from qlora_tpu.models.transformer import forward, init_cache
+        from qlora_tpu.ops.qmatmul import default_impl
+
+        P = self.pool.page_size
+
+        @functools.partial(jax.jit, donate_argnums=(6, 7))
+        def prefill_group(params, lora, ids, lengths, idx, rng,
+                          k_pages, v_pages):
+            G, bucket = ids.shape
+            cache = init_cache(self.cfg, G, bucket)
+            positions = jnp.broadcast_to(jnp.arange(bucket)[None, :],
+                                         (G, bucket))
+            ctx = (default_impl(self.prefill_impl) if self.prefill_impl
+                   else contextlib.nullcontext())
+            with ctx:
+                logits, cache = forward(params, lora, ids, self.cfg,
+                                        self.lcfg, cache=cache,
+                                        positions=positions)
+            toks = sample_token(rng, logits[jnp.arange(G), lengths - 1],
+                                self.sparams)                    # [G]
+            k = cache["k"]                     # [L, G, KVH, bucket, hd]
+            v = cache["v"]
+            L_, _, KVH, _, hd = k.shape
+            npg = idx.shape[1]
+            pad = npg * P - bucket
+            kp = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
+            vp = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
+            # [L, G, KVH, npg, P, hd] → [L, G·npg, KVH, P, hd]; duplicate
+            # scatter indices only ever collide on scratch page 0
+            kp = jnp.transpose(kp.reshape(L_, G, KVH, npg, P, hd),
+                               (0, 1, 3, 2, 4, 5)
+                               ).reshape(L_, G * npg, KVH, P, hd)
+            vp = jnp.transpose(vp.reshape(L_, G, KVH, npg, P, hd),
+                               (0, 1, 3, 2, 4, 5)
+                               ).reshape(L_, G * npg, KVH, P, hd)
+            flat = idx.reshape(-1)
+            k_pages = [dst.at[flat].set(kp[l].astype(dst.dtype))
+                       for l, dst in enumerate(k_pages)]
+            v_pages = [dst.at[flat].set(vp[l].astype(dst.dtype))
+                       for l, dst in enumerate(v_pages)]
+            return toks, k_pages, v_pages
+
+        return prefill_group
+
     def submit(self, prompt, max_new_tokens=128, on_token=None):
         self._uid += 1
         req = self.Request(self._uid, list(prompt), max_new_tokens,
@@ -414,7 +479,8 @@ class PagedBatcher:
     def _admit(self):
         from qlora_tpu.generate.sampler import sample_token
 
-        pending = []
+        P = self.pool.page_size
+        admits = []   # (slot, req, uid, L, bucket, prompt) — fused path
         for slot in range(self.num_slots):
             if self.slot_req[slot] is not None or not self.queue:
                 continue
@@ -439,15 +505,42 @@ class PagedBatcher:
             self.queue.pop(0)
             bucket = next((b for b in self.prefill_buckets if b >= L),
                           self.prefill_buckets[-1])
+            uid = req.uid
+            if self._tp_prefill_fn is None:
+                # fused single-dispatch admission (see _make_prefill_jit);
+                # dispatched below, possibly grouped
+                self.pool.allocate(uid, L + 1)  # room for the next token too
+                admits.append((slot, req, uid, L, bucket, prompt))
+                continue
             ids = np.zeros((1, bucket), np.int32)
             ids[0, :L] = prompt
-            uid = req.uid
             self.rng, sub = jax.random.split(self.rng)
-            if self._tp_prefill_fn is None:
-                # fused single-dispatch admission (see _make_prefill_jit)
-                self.pool.allocate(uid, L + 1)  # room for the next token too
-                P = self.pool.page_size
-                npg = -(-bucket // P)
+            last, k, v = self._prefill_kv(jnp.asarray(ids), jnp.int32(L),
+                                          bucket)
+            self.pool.allocate(uid, L + 1)
+            self.pool.write_prefill(uid, k[:, :, :L], v[:, :, :L])
+            tok = int(sample_token(sub, last[None], self.sparams)[0])
+            self._finish_admit(slot, req, uid, L, tok)
+
+        # dispatch the fused admissions: consecutive same-bucket admissions
+        # group into ONE [admit_batch, bucket] prefill dispatch (padded with
+        # dummy rows); async — no host sync until every group is queued
+        pending = []
+        i = 0
+        while i < len(admits):
+            bucket = admits[i][4]
+            chunk = [admits[i]]
+            while (len(chunk) < self.admit_batch
+                   and i + len(chunk) < len(admits)
+                   and admits[i + len(chunk)][4] == bucket):
+                chunk.append(admits[i + len(chunk)])
+            i += len(chunk)
+            npg = -(-bucket // P)
+            self.rng, sub = jax.random.split(self.rng)
+            if len(chunk) == 1:
+                slot, req, uid, L, bucket, prompt = chunk[0]
+                ids = np.zeros((1, bucket), np.int32)
+                ids[0, :L] = prompt
                 idx = np.zeros((npg,), np.int32)
                 pages = self.pool.tables[uid][:npg]
                 idx[: len(pages)] = pages
@@ -455,20 +548,29 @@ class PagedBatcher:
                     self.params, self.lora, jnp.asarray(ids), jnp.int32(L),
                     jnp.asarray(idx), sub, self.pool.k_pages,
                     self.pool.v_pages)
-                self.pool.k_pages = list(kp)
-                self.pool.v_pages = list(vp)
-                # async dispatch: do NOT block on the sampled token here —
-                # resolving int(tok_d) per admission serializes one host
-                # round-trip per prompt; deferring lets consecutive
-                # prefill dispatches pipeline on the device
                 pending.append((slot, req, uid, L, tok_d))
-                continue
-            last, k, v = self._prefill_kv(jnp.asarray(ids), jnp.int32(L),
-                                          bucket)
-            self.pool.allocate(uid, L + 1)
-            self.pool.write_prefill(uid, k[:, :, :L], v[:, :, :L])
-            tok = int(sample_token(sub, last[None], self.sparams)[0])
-            self._finish_admit(slot, req, uid, L, tok)
+            else:
+                G = self.admit_batch
+                ids = np.zeros((G, bucket), np.int32)
+                lengths = np.ones((G,), np.int32)   # dummy rows: length 1
+                idx = np.zeros((G, npg), np.int32)
+                for j, (slot, req, uid, L, _, prompt) in enumerate(chunk):
+                    ids[j, :L] = prompt
+                    lengths[j] = L
+                    pages = self.pool.tables[uid][:npg]
+                    idx[j, : len(pages)] = pages
+                toks_d, kp, vp = self._prefill_group_jit(
+                    self.params, self.lora, jnp.asarray(ids),
+                    jnp.asarray(lengths), jnp.asarray(idx), sub,
+                    self.pool.k_pages, self.pool.v_pages)
+                for j, (slot, req, uid, L, _, prompt) in enumerate(chunk):
+                    pending.append((slot, req, uid, L, toks_d[j]))
+            self.pool.k_pages = list(kp)
+            self.pool.v_pages = list(vp)
+        # async dispatch: do NOT block on the sampled token per group —
+        # resolving int(tok_d) per admission serializes one host round-trip
+        # per prompt; deferring lets consecutive prefill dispatches
+        # pipeline on the device
         for slot, req, uid, L, tok_d in pending:
             self._finish_admit(slot, req, uid, L, int(tok_d))
 

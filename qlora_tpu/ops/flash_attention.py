@@ -29,6 +29,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
 MIN_BLOCK = 128
+_LOG2E = 1.4426950408889634   # log2(e): softmax runs in the exp2 domain
+_LN2 = 0.6931471805599453     # ln(2): converts log2-domain m back for lse
 
 
 def _use_interpret() -> bool:
@@ -59,7 +61,8 @@ def _lane_rep(x, width):
 def _fwd_kernel(
     q_ref, k_ref, v_ref, kvlen_ref, o_ref, lse_ref,
     m_scr, l_scr, acc_scr,
-    *, sm_scale, causal, block_q, block_k, kv_len, window,
+    *, sm_scale, causal, block_q, block_k, kv_len, window, exp2=False,
+    split_k=1,
 ):
     """Grid (B, H, Sq/block_q, Skv/block_k); online softmax over kv tiles.
 
@@ -68,7 +71,8 @@ def _fwd_kernel(
     rescale and serialized the whole kernel at 0.27 MFU on v5e; the
     replicated layout ran the same shape at 0.47 MFU; round 4's deferred
     normalization (FA2-style: acc rescaled by alpha only, divided by l
-    once at the last kv tile) plus 1024-wide q tiles reach 0.55-0.62
+    once at the last kv tile) plus 1024-wide q tiles reached 0.55-0.62,
+    and split_k=2 sub-tiling + exp2 lifted it to 0.63/0.66 at S=2048/4096
     (vs jax.experimental's reference kernel at 0.41).
     """
     qi = pl.program_id(2)
@@ -89,44 +93,63 @@ def _fwd_kernel(
         # tile fully outside the window (all cols < min row - window + 1)
         run = run & ((ki + 1) * block_k - 1 >= qi * block_q - window + 1)
 
+    # exp2 mode: fold sm_scale·log2(e) into the ONE post-dot multiply and
+    # exponentiate with exp2 directly — jnp.exp lowers to a multiply by
+    # log2e plus exp2 on the VPU, so this removes one f32 multiply per
+    # [bq, bk] element from the softmax critical path.  m/l/alpha then
+    # live in the log2 domain; the final o = acc/l is domain-free and the
+    # lse residual converts back with one [bq, 128] multiply.
+    scale_eff = sm_scale * _LOG2E if exp2 else sm_scale
+    expf = jnp.exp2 if exp2 else jnp.exp
+
     @pl.when(run)
     def _():
         # dots run on the INPUT dtype (bf16 in production → full-rate MXU)
         # with f32 accumulation; sm_scale is applied to s in f32
         q = q_ref[0, 0]                                       # [bq, d]
-        k = k_ref[0, 0]                                       # [bk, d]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * sm_scale                                          # [bq, bk] f32
+        # split_k > 1 processes the kv tile as independent SUB-tiles: the
+        # next sub-tile's s-dot (MXU) has no data dependence on the current
+        # sub-tile's softmax (VPU), giving the Mosaic scheduler independent
+        # chains to overlap (ablation knob; production value set below)
+        bs = block_k // split_k
+        for sub in range(split_k):
+            k = k_ref[0, 0][sub * bs:(sub + 1) * bs, :]       # [bs, d]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32
+            ) * scale_eff                                     # [bq, bs] f32
 
-        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
-        mask = col < kvlen_ref[bi, 0]                             # padding mask
-        if causal:
-            mask = mask & (col <= row)
-        if window is not None:
-            mask = mask & (row - col < window)
-        s = s + jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
+            row = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                   + qi * block_q)
+            col = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                   + ki * block_k + sub * bs)
+            mask = col < kvlen_ref[bi, 0]                     # padding mask
+            if causal:
+                mask = mask & (col <= row)
+            if window is not None:
+                mask = mask & (row - col < window)
+            s = s + jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
 
-        m_prev, l_prev = m_scr[:], l_scr[:]                   # [bq, 128]
-        m_curr = jnp.max(s, axis=1)[:, None]                  # [bq, 1]
-        m_next = jnp.maximum(m_prev, m_curr)                  # [bq, 128]
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - _lane_rep(m_next, s.shape[1]))
-        l_next = jnp.sum(p, axis=1)[:, None] + alpha * l_prev  # [bq, 128]
-        m_scr[:] = m_next
-        l_scr[:] = l_next
+            m_prev, l_prev = m_scr[:], l_scr[:]               # [bq, 128]
+            m_curr = jnp.max(s, axis=1)[:, None]              # [bq, 1]
+            m_next = jnp.maximum(m_prev, m_curr)              # [bq, 128]
+            alpha = expf(m_prev - m_next)
+            p = expf(s - _lane_rep(m_next, s.shape[1]))
+            l_next = (jnp.sum(p, axis=1)[:, None]
+                      + alpha * l_prev)                       # [bq, 128]
+            m_scr[:] = m_next
+            l_scr[:] = l_next
 
-        v = v_ref[0, 0]                                       # [bk, d]
-        # FA2-style DEFERRED normalization: acc carries the unnormalized
-        # numerator (rescaled by alpha only) and is divided by l ONCE at
-        # the last kv tile — the old running-l normalization burned two
-        # extra [bq, d] VPU multiplies per tile on the s→p→pv critical
-        # path (p ≤ 1 and acc ≤ l ≤ Skv, so f32 cannot overflow)
-        acc_scr[:] *= _lane_rep(alpha, acc_scr.shape[1])
-        acc_scr[:] += jnp.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32
-        )
+            v = v_ref[0, 0][sub * bs:(sub + 1) * bs, :]       # [bs, d]
+            # FA2-style DEFERRED normalization: acc carries the unnormalized
+            # numerator (rescaled by alpha only) and is divided by l ONCE at
+            # the last kv tile — the old running-l normalization burned two
+            # extra [bq, d] VPU multiplies per tile on the s→p→pv critical
+            # path (p ≤ 1 and acc ≤ l ≤ Skv, so f32 cannot overflow)
+            acc_scr[:] *= _lane_rep(alpha, acc_scr.shape[1])
+            acc_scr[:] += jnp.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            )
 
     @pl.when(ki == pl.num_programs(3) - 1)
     def _():
@@ -152,8 +175,11 @@ def _fwd_kernel(
         # be DCE'd, and the [B,H,S,128] f32 write is ~13% of the call's
         # HBM traffic — measured 0.544 -> 0.585 MFU at S=2048 on v5e.
         if lse_ref is not None:
+            # exp2 mode tracks m in the log2 domain; the residual stays in
+            # the NAT domain (ring-attention merges and the vjp expect it)
+            m_nat = m_scr[:] * _LN2 if exp2 else m_scr[:]
             lse_ref[0, 0] = jnp.where(
-                empty, 3e38, m_scr[:] + jnp.log(l_scr[:])
+                empty, 3e38, m_nat + jnp.log(l_scr[:])
             )
 
 
@@ -165,10 +191,18 @@ def _fwd_kernel_nolse(q_ref, k_ref, v_ref, kvlen_ref, o_ref,
 
 @functools.partial(
     jax.jit, static_argnames=("sm_scale", "causal", "block_q", "block_k",
-                              "window", "with_lse")
+                              "window", "with_lse", "use_exp2", "split_k")
 )
 def _flash_fwd(q, k, v, kv_lengths, sm_scale, causal, block_q, block_k,
-               window=None, with_lse=True):
+               window=None, with_lse=True, use_exp2=True, split_k=2):
+    # production default use_exp2=True + split_k=2 (r4 v5e ablation,
+    # benchmarks/flash_exp2_ablate.py): sub-tiling the kv tile gives the
+    # Mosaic scheduler an independent MXU chain (next sub-tile's s-dot) to
+    # overlap with the current sub-tile's VPU softmax — 0.587 → 0.628 MFU
+    # at S=2048, 0.608 → 0.663 at S=4096.  exp2 alone is a WASH (−0.01:
+    # Mosaic already folds the multiply into exp) but adds +0.008-0.014 on
+    # top of split_k=2 once the VPU is the exposed critical path; split_k=8
+    # collapses to 0.46 (scheduling/VMEM pressure).
     B, H, Sq, D = q.shape
     KVH = k.shape[1]
     G = H // KVH          # GQA: query heads per kv head (kernel-side grouping)
@@ -184,7 +218,8 @@ def _flash_fwd(q, k, v, kv_lengths, sm_scale, causal, block_q, block_k,
     kern = functools.partial(
         _fwd_kernel if with_lse else _fwd_kernel_nolse,
         sm_scale=sm_scale, causal=causal,
-        block_q=bq, block_k=bk, kv_len=Skv, window=window,
+        block_q=bq, block_k=bk, kv_len=Skv, window=window, exp2=use_exp2,
+        split_k=split_k if bk % split_k == 0 else 1,
     )
     res = pl.pallas_call(
         kern,
@@ -225,9 +260,13 @@ def _flash_fwd(q, k, v, kv_lengths, sm_scale, causal, block_q, block_k,
 def _bwd_dq_kernel(
     q_ref, k_ref, v_ref, kvlen_ref, do_ref, lse_ref, di_ref, dq_ref,
     dq_scr,
-    *, sm_scale, causal, block_q, block_k, window,
+    *, sm_scale, causal, block_q, block_k, window, exp2=False, split_k=1,
 ):
-    """dq: grid (B, H, Sq/bq, Skv/bk), accumulate over kv tiles."""
+    """dq: grid (B, H, Sq/bq, Skv/bk), accumulate over kv tiles.
+
+    split_k sub-tiles the kv tile (see _fwd_kernel): with lse PRECOMPUTED
+    the sub-tiles are fully independent, so each sub-tile's exp (VPU)
+    overlaps the next one's s-dot (MXU)."""
     qi = pl.program_id(2)
     ki = pl.program_id(3)
     bi = pl.program_id(0)
@@ -244,37 +283,49 @@ def _bwd_dq_kernel(
         # O(S·window) backward, not full-quadratic
         run = run & ((ki + 1) * block_k - 1 >= qi * block_q - window + 1)
 
+    scale_eff = sm_scale * _LOG2E if exp2 else sm_scale
+    expf = jnp.exp2 if exp2 else jnp.exp
+
     @pl.when(run)
     def _():
         # bf16 MXU operands, f32 accumulation/statistics (same rationale as
         # the forward kernel; s recomputation matches fwd bit-for-bit)
         q = q_ref[0, 0]                                        # bf16
-        k = k_ref[0, 0]
-        v = v_ref[0, 0]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * sm_scale
-        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
-        mask = col < kvlen_ref[bi, 0]
-        if causal:
-            mask = mask & (col <= row)
-        if window is not None:
-            mask = mask & (row - col < window)
-        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
-
-        # lane-replicated [bq, 128] lse (see _fwd_kernel): narrow [bq, 1]
-        # slices forced per-op relayouts and dominated the kernel time;
-        # p = exp(s - lse) is the already-normalized softmax
-        bkw = s.shape[1]
-        p = jnp.exp(s - _lane_rep(lse_ref[0, 0], bkw))
         do = do_ref[0, 0]                                      # bf16
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        di = _lane_rep(di_ref[0, 0], bkw)
-        ds = (p * (dp - di) * sm_scale).astype(k.dtype)
-        dq_scr[:] += jnp.dot(ds, k, preferred_element_type=jnp.float32)
+        # exp2 domain: one [bq, 128] multiply moves lse to log2 before the
+        # lane replication; p = exp2(s·c − lse·log2e) equals exp(s·a − lse)
+        lse_dom = (lse_ref[0, 0] * _LOG2E) if exp2 else lse_ref[0, 0]
+        bs = block_k // split_k
+        for sub in range(split_k):
+            k = k_ref[0, 0][sub * bs:(sub + 1) * bs, :]
+            v = v_ref[0, 0][sub * bs:(sub + 1) * bs, :]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32
+            ) * scale_eff
+            row = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                   + qi * block_q)
+            col = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                   + ki * block_k + sub * bs)
+            mask = col < kvlen_ref[bi, 0]
+            if causal:
+                mask = mask & (col <= row)
+            if window is not None:
+                mask = mask & (row - col < window)
+            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+            # lane-replicated [bq, 128] lse (see _fwd_kernel): narrow
+            # [bq, 1] slices forced per-op relayouts and dominated the
+            # kernel time; p = exp(s - lse) is the normalized softmax
+            bkw = s.shape[1]
+            p = expf(s - _lane_rep(lse_dom, bkw))
+            dp = jax.lax.dot_general(
+                do, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32
+            )
+            di = _lane_rep(di_ref[0, 0], bkw)
+            ds = (p * (dp - di) * sm_scale).astype(k.dtype)
+            dq_scr[:] += jnp.dot(ds, k, preferred_element_type=jnp.float32)
 
     @pl.when(ki == pl.num_programs(3) - 1)
     def _():
@@ -284,9 +335,12 @@ def _bwd_dq_kernel(
 def _bwd_dkv_kernel(
     q_ref, k_ref, v_ref, kvlen_ref, do_ref, lse_ref, di_ref,
     dk_ref, dv_ref, dk_scr, dv_scr,
-    *, sm_scale, causal, block_q, block_k, window,
+    *, sm_scale, causal, block_q, block_k, window, exp2=False, split_k=1,
 ):
-    """dk/dv: grid (B, H, Skv/bk, Sq/bq), accumulate over q tiles."""
+    """dk/dv: grid (B, H, Skv/bk, Sq/bq), accumulate over q tiles.
+
+    split_k here sub-tiles the Q tile (rows of the [bq, bk] score block):
+    lse/di are per-row, so row sub-tiles are fully independent chains."""
     ki = pl.program_id(2)
     qi = pl.program_id(3)
     bi = pl.program_id(0)
@@ -303,42 +357,54 @@ def _bwd_dkv_kernel(
         # window tile-skip (matches forward)
         run = run & ((ki + 1) * block_k - 1 >= qi * block_q - window + 1)
 
+    scale_eff = sm_scale * _LOG2E if exp2 else sm_scale
+    expf = jnp.exp2 if exp2 else jnp.exp
+
     @pl.when(run)
     def _():
         # bf16 MXU operands, f32 accumulation (see forward kernel)
-        q = q_ref[0, 0]                                        # bf16
         k = k_ref[0, 0]
         v = v_ref[0, 0]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * sm_scale
-        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
-        mask = col < kvlen_ref[bi, 0]
-        if causal:
-            mask = mask & (col <= row)
-        if window is not None:
-            mask = mask & (row - col < window)
-        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+        lse_dom = (lse_ref[0, 0] * _LOG2E) if exp2 else lse_ref[0, 0]
+        bs = block_q // split_k
+        for sub in range(split_k):
+            q = q_ref[0, 0][sub * bs:(sub + 1) * bs, :]        # bf16
+            do = do_ref[0, 0][sub * bs:(sub + 1) * bs, :]      # [bs, d]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32
+            ) * scale_eff
+            row = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                   + qi * block_q + sub * bs)
+            col = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                   + ki * block_k)
+            mask = col < kvlen_ref[bi, 0]
+            if causal:
+                mask = mask & (col <= row)
+            if window is not None:
+                mask = mask & (row - col < window)
+            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
-        # lane-replicated lse (see _fwd_kernel / _bwd_dq_kernel)
-        bkw = s.shape[1]
-        pf = jnp.exp(s - _lane_rep(lse_ref[0, 0], bkw))
-        p = pf.astype(q.dtype)                                 # [bq, bk]
-        do = do_ref[0, 0]                                      # [bq, d]
-        # dv += P^T @ do
-        dv_scr[:] += jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        di = _lane_rep(di_ref[0, 0], bkw)
-        ds = (pf * (dp - di) * sm_scale).astype(q.dtype)       # [bq, bk]
-        # dk += dS^T @ q  (q is unscaled here, so no final /sm_scale)
-        dk_scr[:] += jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
+            # lane-replicated lse (see _fwd_kernel / _bwd_dq_kernel)
+            bkw = s.shape[1]
+            pf = expf(s - _lane_rep(lse_dom[sub * bs:(sub + 1) * bs], bkw))
+            p = pf.astype(q.dtype)                             # [bs, bk]
+            # dv += P^T @ do
+            dv_scr[:] += jax.lax.dot_general(
+                p, do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32
+            )
+            dp = jax.lax.dot_general(
+                do, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32
+            )
+            di = _lane_rep(di_ref[0, 0][sub * bs:(sub + 1) * bs], bkw)
+            ds = (pf * (dp - di) * sm_scale).astype(q.dtype)   # [bs, bk]
+            # dk += dS^T @ q  (q is unscaled here, so no final /sm_scale)
+            dk_scr[:] += jax.lax.dot_general(
+                ds, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32
+            )
 
     @pl.when(qi == pl.num_programs(3) - 1)
     def _():
@@ -347,10 +413,15 @@ def _bwd_dkv_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sm_scale", "causal", "block_q", "block_k", "window")
+    jax.jit, static_argnames=("sm_scale", "causal", "block_q", "block_k",
+                              "window", "use_exp2", "split_k")
 )
 def _flash_bwd(q, k, v, kv_lengths, o, lse, do, sm_scale, causal, block_q,
-               block_k, window=None, dlse=None):
+               block_k, window=None, dlse=None, use_exp2=True, split_k=2):
+    # production default use_exp2=True + split_k=2, same rationale as
+    # _flash_fwd (lse is precomputed here, so sub-tiles are FULLY
+    # independent): bwd-only 0.693 → 0.710 MFU at S=2048 on v5e
+    # (benchmarks/flash_exp2_ablate.py --bwd; split_k=4 regresses to 0.684)
     B, H, Sq, D = q.shape
     Skv = k.shape[2]
     # honor the requested tile when it divides the sequence (tiles > 512
@@ -378,7 +449,8 @@ def _flash_bwd(q, k, v, kv_lengths, o, lse, do, sm_scale, causal, block_q,
     dq = pl.pallas_call(
         functools.partial(
             _bwd_dq_kernel, sm_scale=sm_scale, causal=causal,
-            block_q=bq, block_k=bk, window=window,
+            block_q=bq, block_k=bk, window=window, exp2=use_exp2,
+            split_k=split_k if bk % split_k == 0 else 1,
         ),
         grid=(B, H, Sq // bq, Skv // bk),
         in_specs=common_in,
@@ -404,7 +476,8 @@ def _flash_bwd(q, k, v, kv_lengths, o, lse, do, sm_scale, causal, block_q,
     dk, dv = pl.pallas_call(
         functools.partial(
             _bwd_dkv_kernel, sm_scale=sm_scale, causal=causal,
-            block_q=bq, block_k=bk, window=window,
+            block_q=bq, block_k=bk, window=window, exp2=use_exp2,
+            split_k=split_k if bq % split_k == 0 else 1,
         ),
         grid=(B, H, Skv // bk, Sq // bq),
         in_specs=swapped_in,

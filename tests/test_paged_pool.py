@@ -274,3 +274,31 @@ def test_random_traffic_stress_pool_invariants():
     single = run(1)
     burst = run(4)
     assert single == burst, (single, burst)
+
+
+def test_batched_admission_matches_single():
+    """admit_batch>1 groups same-bucket prefills into one padded dispatch;
+    greedy outputs must be identical to per-admission dispatch, and the
+    allocator must still drain to fully-free."""
+    from qlora_tpu.generate.paged import PagedBatcher
+
+    cfg = get_config("debug")
+    params = init_params(jax.random.PRNGKey(0), cfg, quantized=True)
+    rng = np.random.default_rng(11)
+    traffic = [(rng.integers(1, cfg.vocab_size, size=rng.integers(1, 24))
+                .tolist(), int(rng.integers(2, 8))) for _ in range(9)]
+
+    def run(ab):
+        pb = PagedBatcher(params, None, cfg, num_slots=4, n_pages=32,
+                          page_size=8, max_pages_per_seq=6,
+                          prefill_buckets=(16, 32), eos_id=5,
+                          admit_batch=ab)
+        reqs = [pb.submit(p, max_new_tokens=n) for p, n in traffic]
+        pb.run_to_completion()
+        assert pb.pool.n_free == 31
+        assert not pb.pool.tables
+        return [r.generated for r in reqs]
+
+    base = run(1)
+    grouped = run(3)     # forces a padded final group and mixed buckets
+    assert base == grouped, (base, grouped)
