@@ -288,11 +288,11 @@ def test_batched_admission_matches_single():
     traffic = [(rng.integers(1, cfg.vocab_size, size=rng.integers(1, 24))
                 .tolist(), int(rng.integers(2, 8))) for _ in range(9)]
 
-    def run(ab):
+    def run(ab, spd=1):
         pb = PagedBatcher(params, None, cfg, num_slots=4, n_pages=32,
                           page_size=8, max_pages_per_seq=6,
                           prefill_buckets=(16, 32), eos_id=5,
-                          admit_batch=ab)
+                          admit_batch=ab, steps_per_dispatch=spd)
         reqs = [pb.submit(p, max_new_tokens=n) for p, n in traffic]
         pb.run_to_completion()
         assert pb.pool.n_free == 31
@@ -302,3 +302,7 @@ def test_batched_admission_matches_single():
     base = run(1)
     grouped = run(3)     # forces a padded final group and mixed buckets
     assert base == grouped, (base, grouped)
+    # combined scheduling (the bench serving config): batched admission
+    # together with multi-step decode bursts must not change greedy output
+    combined = run(3, spd=4)
+    assert base == combined, (base, combined)
