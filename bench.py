@@ -294,6 +294,19 @@ def main():
     # relay can stall any section for minutes — the watchdog must not
     # starve them.  Guarded: a failure here must not kill the microkernel
     # metrics.
+    # 4b) serving engine as a SYSTEM: PagedBatcher under a saturating
+    # arrival trace — time-to-first-token and sustained tokens/s with
+    # prefill/admission interleaved with decode (the north-star continuous
+    # batching feature measured end-to-end, not at steady state).
+    # Ordered BEFORE product/flash: the 32-slot throughput config runs the
+    # chip near-full (NF4 + int8 + 2.4 GB pools) and needs the least
+    # allocator churn ahead of it (r4: same trace OOM'd when run last but
+    # passed in a fresh process).
+    if _remaining() > float(os.environ.get("QLORA_BENCH_SERVING_MIN", "240")):
+        _guard("serving_metrics", lambda: extras.extend(_serving_metrics()))
+    else:
+        _log("skipping serving metrics: insufficient budget remaining")
+
     if _remaining() > float(os.environ.get("QLORA_BENCH_PRODUCT_MIN", "300")):
         _guard("product_metrics", lambda: extras.extend(_product_metrics()))
     else:
@@ -304,15 +317,6 @@ def main():
         _guard("flash_metrics", lambda: extras.extend(_flash_metrics()))
     else:
         _log("skipping flash metrics: insufficient budget remaining")
-
-    # 7) serving engine as a SYSTEM: PagedBatcher under a saturating
-    # arrival trace — time-to-first-token and sustained tokens/s with
-    # prefill/admission interleaved with decode (the north-star continuous
-    # batching feature measured end-to-end, not at steady state)
-    if _remaining() > float(os.environ.get("QLORA_BENCH_SERVING_MIN", "240")):
-        _guard("serving_metrics", lambda: extras.extend(_serving_metrics()))
-    else:
-        _log("skipping serving metrics: insufficient budget remaining")
 
     wd.cancel()
     _emit()
@@ -659,66 +663,6 @@ def _product_metrics():
     return out
 
 
-def _run_serving_trace(params, cfg, *, slots, n_req, plen, new, n_pages,
-                       page_size, buckets, admit_batch, spd, small):
-    """One PagedBatcher arrival-trace measurement; returns (tok/s, ttft)."""
-    import numpy as np
-
-    from qlora_tpu.generate.paged import PagedBatcher
-
-    pb = PagedBatcher(
-        params, None, cfg, num_slots=slots, n_pages=n_pages,
-        page_size=page_size, max_pages_per_seq=12,
-        prefill_buckets=buckets, eos_id=-1,
-        decode_impl="int8" if not small else None,   # offline per-column
-        # int8 serving copy (the production decode path; w8a8's in-kernel
-        # requant loses at slot-batch M and doubles nothing)
-        prefill_impl="w8a8" if not small else None,  # int8 prefill: the
-        # trace is prefill-heavy (384-token prompts) and the exact-NF4
-        # kernel's small-M regime made prefill the binder
-        steps_per_dispatch=spd,      # multi-step scheduling: amortize the
-        # relay's ~30 ms per-dispatch cost over N decode tokens
-        admit_batch=admit_batch,     # batched admission: same-bucket
-        # prefills group into one padded [G, bucket] dispatch
-    )
-    rng = np.random.default_rng(0)
-    t_first = {}
-    t_submit = {}
-
-    def on_token(key):
-        def cb(uid, tok):
-            if key not in t_first:
-                t_first[key] = time.perf_counter()
-        return cb
-
-    # warmup: one throwaway wave pays the prefill/decode compiles so the
-    # measured trace reflects the serving system, not the compiler (cold
-    # compiles on this relay run minutes and buried the first trial's
-    # numbers: 12.6 tok/s, 44 s median TTFT); admit_batch+1 requests
-    # compile BOTH prefill programs (the group and the singleton)
-    for _ in range(max(admit_batch + 1, 2)):
-        pb.submit(rng.integers(1, cfg.vocab_size, size=plen).tolist(),
-                  max_new_tokens=2)
-    pb.run_to_completion()
-
-    t0 = time.perf_counter()
-    reqs = []
-    for i in range(n_req):
-        prompt = rng.integers(1, cfg.vocab_size, size=plen).tolist()
-        r = pb.submit(prompt, max_new_tokens=new, on_token=on_token(i))
-        t_submit[i] = time.perf_counter()
-        reqs.append(r)
-    done = pb.run_to_completion()
-    wall = time.perf_counter() - t0
-    total_toks = sum(len(r.generated) for r in reqs)
-    ttfts = sorted(t_first[i] - t_submit[i] for i in t_first)
-    med_ttft = ttfts[len(ttfts) // 2] if ttfts else 0.0
-    assert len(done) == n_req
-    del pb
-    jax.clear_caches()
-    return total_toks / wall, med_ttft
-
-
 def _serving_metrics():
     """PagedBatcher system benchmark: 7B GQA int8 serving under a
     saturating trace (more requests than slots, prompts prefilled while
@@ -732,62 +676,78 @@ def _serving_metrics():
         at 1.52 s median TTFT when measured this round (48 slots reaches
         1069 at 2.33 s; diminishing);
       latency-optimized (budget-permitting): 16 slots — 666 tok/s at
-        0.69 s median TTFT."""
-    # the product section's jit executables pin donated HBM buffers; the
-    # serving engine needs the chip nearly empty (NF4 + int8 + pools)
-    jax.clear_caches()
+        0.69 s median TTFT.
 
-    from qlora_tpu.models import init_params
-    from qlora_tpu.models.config import ModelConfig
+    Each trace runs in a SUBPROCESS (benchmarks/serving_trace.py): the
+    32-slot config packs NF4 + int8 + 2.4 GB pools onto a nearly-full
+    chip and reproducibly OOMs inside the bench process after the earlier
+    sections' allocator churn (even with client-side live arrays at 0.12
+    GB — the relay does not fully reclaim in-process), while a fresh
+    process passes every time; the relay multiplexes clients, so a child
+    process coexists with this one."""
+    import json as _json
+    import subprocess
+    import sys as _sys
 
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "benchmarks", "serving_trace.py")
     small = bool(os.environ.get("QLORA_BENCH_SMALL"))
-    cfg = ModelConfig(
-        arch="llama", vocab_size=32000, hidden_size=4096,
-        intermediate_size=14336, num_layers=32, num_heads=32, num_kv_heads=8,
-    ) if not small else ModelConfig(
-        arch="llama", vocab_size=512, hidden_size=256, intermediate_size=512,
-        num_layers=2, num_heads=4, num_kv_heads=2,
-    )
-    params = init_params(jax.random.PRNGKey(0), cfg, quantized=True)
-    # production-shaped mix: ~384-token prompts, 128 generated (chat traces
-    # are output-weighted); requests ≈ 1.5× slots keeps admission pressure
-    common = dict(plen=384, new=128, page_size=64, buckets=(512,),
-                  admit_batch=4, spd=16, small=small) if not small else dict(
-                  plen=12, new=4, page_size=8, buckets=(16,),
-                  admit_batch=2, spd=1, small=small)
-    tp, lat = (dict(slots=32, n_req=48, n_pages=288),
-               dict(slots=16, n_req=24, n_pages=256)) if not small else (
-              dict(slots=2, n_req=4, n_pages=32),
-              dict(slots=2, n_req=3, n_pages=32))
+    tp_cfg, lat_cfg = (
+        ("slots=32,n_req=48,admit_batch=4,spd=16,n_pages=288",
+         "slots=16,n_req=24,admit_batch=4,spd=16,n_pages=256")
+        if not small else
+        ("slots=2,n_req=4,admit_batch=2,spd=1,n_pages=32",
+         "slots=2,n_req=3,admit_batch=2,spd=1,n_pages=32"))
 
-    tok_s, ttft = _run_serving_trace(params, cfg, **tp, **common)
+    def run_cfg(cfg_str):
+        to = max(min(_remaining() - 20, 1500), 120)
+        r = subprocess.run(
+            [_sys.executable, script, cfg_str, "--json"],
+            capture_output=True, text=True, timeout=to)
+        lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+        if r.returncode != 0 or not lines:
+            raise RuntimeError(
+                f"serving trace subprocess rc={r.returncode}: "
+                f"{(r.stderr or r.stdout)[-200:]}")
+        d = _json.loads(lines[-1])
+        return d["tok_s"], d["ttft_ms"]
+
+    tp_label = "32-slot throughput config"
+    try:
+        tok_s, ttft_ms = run_cfg(tp_cfg)
+    except Exception as e:  # noqa: BLE001
+        _log(f"throughput-config trace failed ({str(e)[:120]}); "
+             "falling back to the latency config as primary")
+        tok_s, ttft_ms = run_cfg(lat_cfg)
+        tp_label = "16-slot fallback (32-slot config failed this run)"
+        lat_cfg = None
     out = [
         {
             "metric": "paged_batcher_tokens_per_s",
-            "value": round(tok_s, 1),
+            "value": tok_s,
             "unit": "tokens/s/chip (host-observed, incl. prefill; "
-                    "32-slot throughput config)",
+                    + tp_label + ")",
             "vs_baseline": 0.0,   # no SOL fraction: system number
         },
         {
             "metric": "paged_batcher_ttft_ms_median",
-            "value": round(ttft * 1e3, 1),
+            "value": ttft_ms,
             "unit": "ms (submit -> first token under saturating load)",
             "vs_baseline": 0.0,
         },
     ]
-    if _remaining() > 180:
-        tok_s2, ttft2 = _run_serving_trace(params, cfg, **lat, **common)
+    if lat_cfg is not None and _remaining() > 180:
+        tok_s2, ttft2 = run_cfg(lat_cfg)
         out += [
             {
                 "metric": "paged_batcher_tokens_per_s_latency_cfg",
-                "value": round(tok_s2, 1),
+                "value": tok_s2,
                 "unit": "tokens/s/chip (16-slot latency config)",
                 "vs_baseline": 0.0,
             },
             {
                 "metric": "paged_batcher_ttft_ms_median_latency_cfg",
-                "value": round(ttft2 * 1e3, 1),
+                "value": ttft2,
                 "unit": "ms (submit -> first token, 16-slot config)",
                 "vs_baseline": 0.0,
             },

@@ -19,6 +19,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
+# the axon sitecustomize forces the TPU plugin at import; honor an explicit
+# CPU request (bench small mode, tests) the same way tests/conftest.py does
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 from qlora_tpu.utils.compile_cache import enable as _cc_enable
 
 _cc_enable(jax)
@@ -26,17 +31,20 @@ _cc_enable(jax)
 import numpy as np
 
 
-def run_config(params, cfg, *, slots, n_req, admit_batch, spd, n_pages):
+def run_config(params, cfg, *, slots, n_req, admit_batch, spd, n_pages,
+               plen=384, new=128, page_size=64, bucket=512, small=False,
+               emit_json=False):
     from qlora_tpu.generate.paged import PagedBatcher
 
     pb = PagedBatcher(
         params, None, cfg, num_slots=slots, n_pages=n_pages,
-        page_size=64, max_pages_per_seq=12, prefill_buckets=(512,),
-        eos_id=-1, decode_impl="int8", prefill_impl="w8a8",
+        page_size=page_size, max_pages_per_seq=12,
+        prefill_buckets=(bucket,),
+        eos_id=-1, decode_impl="int8" if not small else None,
+        prefill_impl="w8a8" if not small else None,
         steps_per_dispatch=spd, admit_batch=admit_batch,
     )
     rng = np.random.default_rng(0)
-    plen, new = 384, 128
     t_first, t_submit = {}, {}
 
     def on_token(key):
@@ -69,6 +77,11 @@ def run_config(params, cfg, *, slots, n_req, admit_batch, spd, n_pages):
           f"pages={n_pages}:  {total / wall:7.1f} tok/s   "
           f"median TTFT {med * 1e3:7.1f} ms   wall {wall:.2f} s",
           flush=True)
+    if emit_json:
+        import json
+
+        print(json.dumps({"slots": slots, "tok_s": round(total / wall, 1),
+                          "ttft_ms": round(med * 1e3, 1)}), flush=True)
     del pb
     jax.clear_caches()
 
@@ -77,15 +90,25 @@ def main():
     from qlora_tpu.models import init_params
     from qlora_tpu.models.config import ModelConfig
 
+    # QLORA_BENCH_SMALL: tiny model + tiny trace (bench.py smoke mode)
+    small = bool(os.environ.get("QLORA_BENCH_SMALL"))
     cfg = ModelConfig(
         arch="llama", vocab_size=32000, hidden_size=4096,
         intermediate_size=14336, num_layers=32, num_heads=32,
         num_kv_heads=8,
+    ) if not small else ModelConfig(
+        arch="llama", vocab_size=512, hidden_size=256, intermediate_size=512,
+        num_layers=2, num_heads=4, num_kv_heads=2,
     )
     params = init_params(jax.random.PRNGKey(0), cfg, quantized=True)
 
+    emit_json = "--json" in sys.argv
+    extra = dict(small=True, plen=12, new=4, page_size=8,
+                 bucket=16) if small else {}
     configs = []
     for arg in sys.argv[1:]:
+        if arg.startswith("--"):
+            continue
         kv = dict(p.split("=") for p in arg.split(","))
         configs.append({k: int(v) for k, v in kv.items()})
     if not configs:
@@ -96,7 +119,7 @@ def main():
         ]
     print(f"backend: {jax.default_backend()}", flush=True)
     for c in configs:
-        run_config(params, cfg, **c)
+        run_config(params, cfg, emit_json=emit_json, **extra, **c)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,77 @@
+"""Single-stream (B=1) generate() decode: exact NF4 vs int8 serving copy.
+
+The reference's own inference surface (examples/guanaco_generate.py) is a
+single prompt, single stream.  generate() runs the whole rollout inside
+ONE jit'd while_loop dispatch, so (T2-T1)/(N2-N1) over two rollout lengths
+isolates per-token device time from the relay's dispatch cost.
+
+Run on the TPU chip:  python benchmarks/single_stream_decode.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+from qlora_tpu.utils.compile_cache import enable as _cc_enable
+
+_cc_enable(jax)
+import jax.numpy as jnp
+
+from qlora_tpu.generate import generate
+from qlora_tpu.models import init_params
+from qlora_tpu.models.config import ModelConfig
+
+
+def rollout_time(params, cfg, n_new, tries=4, decode_impl=None, dec=None):
+    ids = jnp.ones((1, 16), jnp.int32)
+    lens = jnp.asarray([16], jnp.int32)
+
+    def run():
+        toks = generate(params, None, ids, lens, cfg, max_new_tokens=n_new,
+                        eos_id=-1, decode_impl=decode_impl,
+                        decode_params=dec, max_len=16 + 512)
+        jax.block_until_ready(toks)
+        # host materialization (relay resolves block_until_ready early)
+        return int(jnp.sum(toks))
+
+    run()   # compile
+    best = float("inf")
+    for _ in range(tries):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    print(f"backend: {jax.default_backend()}")
+    cfg = ModelConfig(
+        arch="llama", vocab_size=32000, hidden_size=4096,
+        intermediate_size=14336, num_layers=32, num_heads=32, num_kv_heads=8,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg, quantized=True)
+    n1, n2 = 32, 160
+
+    for impl in (None, "int8"):
+        dec = None
+        if impl == "int8":
+            from qlora_tpu.generate.serve_int8 import (
+                requantize_params_int8_unstacked,
+            )
+
+            dec = requantize_params_int8_unstacked(params)
+        t1 = rollout_time(params, cfg, n1, decode_impl=impl, dec=dec)
+        t2 = rollout_time(params, cfg, n2, decode_impl=impl, dec=dec)
+        per_tok = (t2 - t1) / (n2 - n1)
+        print(f"decode_impl={impl}:  {per_tok * 1e3:6.2f} ms/token  "
+              f"({1.0 / per_tok:6.1f} tok/s single-stream)")
+        del dec
+        jax.clear_caches()
+
+
+if __name__ == "__main__":
+    main()

@@ -133,6 +133,15 @@ class ChatEngine:
         self.sparams = SamplingParams(
             do_sample=True, temperature=args.temperature, top_p=args.top_p)
         self.max_new_tokens = args.max_new_tokens
+        self.decode_impl = getattr(args, "decode_impl", None)
+        self.decode_params = None
+        if self.decode_impl == "int8":
+            # serving copy built ONCE, reused across turns
+            from qlora_tpu.generate.serve_int8 import (
+                requantize_params_int8_unstacked,
+            )
+
+            self.decode_params = requantize_params_int8_unstacked(self.params)
         self.lock = threading.Lock()
 
     def stream_reply(self, history, message):
@@ -148,6 +157,8 @@ class ChatEngine:
                 jnp.asarray([len(ids)]), self.cfg, self.lcfg,
                 max_new_tokens=self.max_new_tokens,
                 eos_id=tok.eos_token_id, sparams=self.sparams,
+                decode_impl=self.decode_impl,
+                decode_params=self.decode_params,
             ):
                 t = int(step[0])
                 if t == tok.eos_token_id:
@@ -231,6 +242,10 @@ def main():
     ap.add_argument("--top_p", type=float, default=0.9)
     ap.add_argument("--log_webhook", default=None,
                     help="POST each completed turn as JSON to this URL")
+    ap.add_argument("--decode_impl", default=None, choices=[None, "int8"],
+                    help="int8: token loop through the direct int8 MXU "
+                         "serving kernels (~3x decode at 7B; prefill "
+                         "stays bf16-exact)")
     args = ap.parse_args()
     if not args.debug and not args.model_path:
         ap.error("--model_path required (or --debug)")

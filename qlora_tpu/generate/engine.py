@@ -52,7 +52,8 @@ def prefill(params, lora, ids, lengths, cfg, lcfg=LoraConfig(), *, cache):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "cfg", "lcfg", "sparams", "max_new_tokens", "eos_id", "min_new_tokens"
+        "cfg", "lcfg", "sparams", "max_new_tokens", "eos_id",
+        "min_new_tokens", "decode_impl",
     ),
 )
 def decode_loop(
@@ -69,11 +70,20 @@ def decode_loop(
     max_new_tokens: int,
     eos_id: int,
     min_new_tokens: int = 0,
+    decode_impl: Optional[str] = None,
 ):
-    """jit'd while_loop decode. Returns tokens [B, max_new_tokens] (eos-padded)."""
+    """jit'd while_loop decode. Returns tokens [B, max_new_tokens] (eos-padded).
+
+    decode_impl="int8": params must be the OFFLINE-requantized per-layer
+    serving tree (serve_int8.requantize_params_int8_unstacked) — decode
+    runs through the direct int8 MXU kernels, the same trade the serving
+    engines make (~1.2% rel. logit error, weight reads near HBM SOL)."""
+    import contextlib
+
     from qlora_tpu.models.unstack import (
         unstack_cache, unstack_lora, unstack_params,
     )
+    from qlora_tpu.ops.qmatmul import default_impl
 
     B = first_logits.shape[0]
     V = cfg.vocab_size
@@ -81,9 +91,12 @@ def decode_loop(
     # (amortized over the whole rollout) buys copy-free per-step kernels —
     # lax.scan's per-layer slices of stacked weights/cache materialized as
     # HBM copies that dominated the decode step (47.6 → 17.4 ms at 7B)
-    params = unstack_params(params)
+    if decode_impl is None:
+        params = unstack_params(params)   # int8 trees arrive pre-split
     lora = unstack_lora(lora, cfg.num_layers)
     cache = unstack_cache(cache)
+    impl_ctx = (functools.partial(default_impl, "w8a8") if decode_impl
+                else contextlib.nullcontext)
 
     def cond(state):
         t, _, _, _, _, done, _ = state
@@ -110,9 +123,10 @@ def decode_loop(
         out = out.at[:, t].set(tok)
         done = done | (tok == eos_id)
         seen = seen | jax.nn.one_hot(tok, V, dtype=jnp.bool_)
-        new_logits, cache = forward(
-            params, lora, tok[:, None], cfg, lcfg, cache=cache
-        )
+        with impl_ctx():
+            new_logits, cache = forward(
+                params, lora, tok[:, None], cfg, lcfg, cache=cache
+            )
         return (t + 1, new_logits[:, 0], cache, seen, rng, done, out)
 
     out = jnp.full((B, max_new_tokens), eos_id, jnp.int32)
@@ -143,6 +157,9 @@ def generate(
     num_beam_groups: int = 1,
     diversity_penalty: float = 0.0,
     penalty_alpha: Optional[float] = None,
+    decode_impl: Optional[str] = None,
+    decode_params: Optional[dict] = None,   # pre-built int8 serving tree
+                                            # (skip per-call requantize)
 ) -> jax.Array:
     """Batch generation (the reference's trainer.predict path, qlora.py:817-834).
 
@@ -151,6 +168,11 @@ def generate(
     num_beams>1 → beam search; num_beam_groups>1 → diverse beam search;
     penalty_alpha → contrastive search.
     """
+    if decode_impl is not None and (
+            num_beams > 1 or num_beam_groups > 1 or penalty_alpha):
+        raise NotImplementedError(
+            "decode_impl composes with greedy/sampled decode only; "
+            "beam/contrastive search runs the exact bf16 path")
     if penalty_alpha:
         from qlora_tpu.generate.search import contrastive_search
 
@@ -180,16 +202,30 @@ def generate(
     B, S = ids.shape
     max_len = max_len or (S + max_new_tokens)
     cache = init_cache(cfg, B, max_len)
+    # prefill stays bf16-exact regardless of decode_impl (the serving
+    # engines make the same split: quality-critical prompt pass exact,
+    # bandwidth-bound token loop int8)
     last_logits, cache = prefill(params, lora, ids, lengths, cfg, lcfg, cache=cache)
+    dec_params = params
+    if decode_impl == "int8":
+        if decode_params is None:
+            from qlora_tpu.generate.serve_int8 import (
+                requantize_params_int8_unstacked,
+            )
+
+            decode_params = requantize_params_int8_unstacked(params)
+        dec_params = decode_params
+    elif decode_impl is not None:
+        raise ValueError(f"decode_impl={decode_impl!r}: only 'int8' or None")
     seen = _token_seen_mask(
         jnp.where(jnp.arange(S)[None] < lengths[:, None], ids, -1), cfg.vocab_size
     )
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     toks, _ = decode_loop(
-        params, lora, last_logits, cache, seen, rng,
+        dec_params, lora, last_logits, cache, seen, rng,
         cfg=cfg, lcfg=lcfg, sparams=sparams,
         max_new_tokens=max_new_tokens, eos_id=eos_id,
-        min_new_tokens=min_new_tokens,
+        min_new_tokens=min_new_tokens, decode_impl=decode_impl,
     )
     return toks
 
@@ -221,13 +257,21 @@ def beam_search(
 def generate_stream(
     params, lora, ids, lengths, cfg, lcfg=LoraConfig(), *,
     max_new_tokens=256, eos_id=2, sparams=SamplingParams(), rng=None,
-    max_len=None,
+    max_len=None, decode_impl=None, decode_params=None,
 ) -> Iterator[np.ndarray]:
     """Streaming generation: yields [B] token ids per step (the demo
-    notebook's TextIteratorStreamer equivalent)."""
+    notebook's TextIteratorStreamer equivalent).
+
+    decode_impl="int8" opts the token loop into the direct int8 MXU
+    serving kernels (prefill stays bf16-exact); pass decode_params (a
+    serve_int8.requantize_params_int8_unstacked tree) to reuse one
+    serving copy across calls."""
+    import contextlib
+
     from qlora_tpu.models.unstack import (
         unstack_cache, unstack_lora, unstack_params,
     )
+    from qlora_tpu.ops.qmatmul import default_impl
 
     B, S = ids.shape
     max_len = max_len or (S + max_new_tokens)
@@ -235,7 +279,20 @@ def generate_stream(
     logits, cache = prefill(params, lora, ids, lengths, cfg, lcfg, cache=cache)
     # split ONCE on the host side (the python loop re-enters jit per token;
     # in-graph splitting would re-slice the stacked weights every step)
-    params = unstack_params(params)
+    if decode_impl == "int8":
+        if decode_params is None:
+            from qlora_tpu.generate.serve_int8 import (
+                requantize_params_int8_unstacked,
+            )
+
+            decode_params = requantize_params_int8_unstacked(params)
+        params = decode_params
+    elif decode_impl is not None:
+        raise ValueError(f"decode_impl={decode_impl!r}: only 'int8' or None")
+    else:
+        params = unstack_params(params)
+    impl_ctx = (functools.partial(default_impl, "w8a8") if decode_impl
+                else contextlib.nullcontext)
     lora = unstack_lora(lora, cfg.num_layers)
     cache = unstack_cache(cache)
     seen = _token_seen_mask(
@@ -252,7 +309,9 @@ def generate_stream(
         rng, sub = jax.random.split(rng)
         tok = sample_token(sub, logits, sparams, seen)
         seen = seen | jax.nn.one_hot(tok, cfg.vocab_size, dtype=jnp.bool_)
-        new_logits, cache = forward(params, lora, tok[:, None], cfg, lcfg, cache=cache)
+        with impl_ctx():
+            new_logits, cache = forward(params, lora, tok[:, None], cfg,
+                                        lcfg, cache=cache)
         return tok, new_logits[:, 0], cache, seen, rng
 
     for _ in range(max_new_tokens):

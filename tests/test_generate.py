@@ -204,3 +204,37 @@ def test_no_repeat_ngram_in_generation(model):
     row = np.asarray(toks)[0].tolist()
     bigrams = list(zip(row, row[1:]))
     assert len(bigrams) == len(set(bigrams)), row  # no repeated bigram
+
+
+def test_generate_int8_decode_impl(model):
+    """decode_impl='int8' (offline per-column serving copy + direct int8
+    MXU decode) must run end-to-end and stay close to the exact path:
+    identical output shape/eos semantics, and logit-level agreement is
+    already pinned by test_serve_int8 — here we bound token drift on a
+    short greedy rollout (small weights → int8 error ≪ decision margins
+    for the first steps)."""
+    cfg, params = model
+    prompt = jnp.asarray([[3, 1, 4, 1, 5]], jnp.int32)
+    lengths = jnp.asarray([5], jnp.int32)
+    exact = np.asarray(generate(params, None, prompt, lengths, cfg,
+                                max_new_tokens=8, eos_id=-1))
+    i8 = np.asarray(generate(params, None, prompt, lengths, cfg,
+                             max_new_tokens=8, eos_id=-1,
+                             decode_impl="int8"))
+    assert i8.shape == exact.shape
+    # first greedy steps must agree (drift later is legitimate: a near-tie
+    # argmax under ~1% logit error can flip and diverge by construction)
+    assert (i8[0, :2] == exact[0, :2]).all(), (i8, exact)
+
+    # streaming path: same serving tree reused via decode_params
+    from qlora_tpu.generate.serve_int8 import (
+        requantize_params_int8_unstacked,
+    )
+
+    dec = requantize_params_int8_unstacked(params)
+    toks = [t for t in generate_stream(params, None, prompt, lengths, cfg,
+                                       max_new_tokens=4, eos_id=-1,
+                                       decode_impl="int8",
+                                       decode_params=dec)]
+    assert len(toks) == 4
+    assert [int(t[0]) for t in toks[:2]] == list(exact[0, :2])
