@@ -69,8 +69,46 @@ def main():
         per_tok = (t2 - t1) / (n2 - n1)
         print(f"decode_impl={impl}:  {per_tok * 1e3:6.2f} ms/token  "
               f"({1.0 / per_tok:6.1f} tok/s single-stream)")
+
+        if impl == "int8":
+            spec_rollout(params, cfg, dec, n1, n2)
         del dec
         jax.clear_caches()
+
+
+def spec_rollout(params, cfg, dec, n1, n2, tries=4):
+    """Prompt-lookup speculation on the int8 path.  Acceptance is
+    content-dependent; this trace measures whatever the model's own
+    greedy rollout yields (random-init 7B rollouts typically fall into
+    short loops, which prompt-lookup then rides)."""
+    from qlora_tpu.generate.speculative import generate_speculative
+
+    ids = jnp.ones((1, 16), jnp.int32)
+    lens = jnp.asarray([16], jnp.int32)
+
+    def run(n_new):
+        toks, stats = generate_speculative(
+            params, None, ids, lens, cfg, max_new_tokens=n_new,
+            eos_id=-1, draft_len=8, decode_impl="int8",
+            decode_params=dec, max_len=16 + 512, with_stats=True)
+        jax.block_until_ready(toks)
+        return int(jnp.sum(toks)), stats["chunks"]
+
+    run(n1)
+    best1 = best2 = float("inf")
+    for _ in range(tries):
+        t0 = time.perf_counter()
+        _, c1 = run(n1)
+        best1 = min(best1, time.perf_counter() - t0)
+    for _ in range(tries):
+        t0 = time.perf_counter()
+        _, c2 = run(n2)
+        best2 = min(best2, time.perf_counter() - t0)
+    per_tok = (best2 - best1) / (n2 - n1)
+    tpc = (n2 - 1) / c2   # tokens per verify chunk (incl. the prefill token)
+    print(f"decode_impl=int8 + speculation (draft_len=8): "
+          f"{per_tok * 1e3:6.2f} ms/token  ({1.0 / per_tok:6.1f} tok/s)  "
+          f"[{c2} chunks for {n2} tokens = {tpc:.2f} tok/chunk]")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,198 @@
+"""Prompt-lookup speculative decoding (greedy-exact).
+
+Single-stream decode is weight-streaming-bound: every generated token
+re-reads all weights for ONE token of work.  Speculation verifies k
+drafted tokens in one forward pass, so each weight pass can retire up to
+k+1 tokens — and greedy verification makes the output EXACTLY the greedy
+rollout (a draft is kept only if it equals the model's own argmax).
+
+Drafts come from the prompt itself (prompt-lookup / n-gram speculation:
+the latest earlier occurrence of the last `ngram` tokens proposes the
+`draft_len` tokens that followed it) — no draft model, no extra weights.
+Acceptance is content-dependent: summarization/extraction/chat-with-
+context traces re-use long spans and accept most drafts; adversarially
+random token streams accept ~none and pay one wasted verify chunk per
+token (bounded downside: the chunk still yields its 1 guaranteed token).
+
+The whole rollout runs in ONE jit'd while_loop (draft matching is
+in-graph), composing with decode_impl="int8" the same way decode_loop
+does.  The reference has no counterpart (its generate is HF token-at-a-
+time); this is the TPU-native answer to the serving-latency gap called
+out in /root/reference/README.md:135.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from qlora_tpu.lora import LoraConfig
+from qlora_tpu.models.config import ModelConfig
+from qlora_tpu.models.transformer import forward, init_cache
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "lcfg", "max_new_tokens", "eos_id",
+                     "draft_len", "ngram", "decode_impl"),
+)
+def _spec_loop(
+    params, lora, first_logits, cache, ctx, cur,
+    *, cfg: ModelConfig, lcfg: LoraConfig, max_new_tokens: int,
+    eos_id: int, draft_len: int, ngram: int,
+    decode_impl: Optional[str] = None,
+):
+    """ctx [B, C]: prompt tokens (row b valid through cur[b]); cache holds
+    the prefilled prompt KV with per-row length == cur.  Returns
+    (out [B, max_new_tokens] eos-padded, cache)."""
+    from qlora_tpu.models.unstack import (
+        unstack_cache, unstack_lora, unstack_params,
+    )
+    from qlora_tpu.ops.qmatmul import default_impl
+
+    B, C = ctx.shape
+    k = draft_len
+    if decode_impl is None:
+        params = unstack_params(params)   # int8 trees arrive pre-split
+    lora = unstack_lora(lora, cfg.num_layers)
+    cache = unstack_cache(cache)
+    impl_ctx = (functools.partial(default_impl, "w8a8") if decode_impl
+                else contextlib.nullcontext)
+
+    # first token comes from the prefill logits (matches decode_loop)
+    t0 = jnp.argmax(first_logits, axis=-1).astype(jnp.int32)      # [B]
+    out = jnp.full((B, max_new_tokens), eos_id, jnp.int32)
+    out = out.at[:, 0].set(t0)
+    done = (t0 == eos_id) | (max_new_tokens <= 1)
+    n_out = jnp.ones((B,), jnp.int32)
+    # pending token joins the context; cache length stays at the prompt
+    # (the pending token's KV is written by its own verify chunk)
+    ctx = ctx.at[jnp.arange(B), cur].set(t0)
+    cur = cur + 1
+
+    rows = jnp.arange(B)
+    span = jnp.arange(C - ngram + 1)
+
+    def draft(ctx, cur):
+        """Latest earlier occurrence of the trailing ngram → next k tokens."""
+        match = jnp.ones((B, C - ngram + 1), bool)
+        for g in range(ngram):
+            last_g = ctx[rows, cur - ngram + g]                  # [B]
+            match &= ctx[:, g:C - ngram + 1 + g] == last_g[:, None]
+        # strictly earlier than the trailing occurrence itself
+        match &= span[None, :] < (cur - ngram)[:, None]
+        best = jnp.max(jnp.where(match, span[None, :], -1), axis=1)
+        start = jnp.clip(best + ngram, 0, C - k)   # -1 → garbage draft (ok:
+        # drafts are only proposals; verification enforces exact greedy)
+        return jax.vmap(
+            lambda c, s: jax.lax.dynamic_slice(c, (s,), (k,))
+        )(ctx, start)
+
+    def cond(state):
+        _, _, _, _, _, done, _ = state
+        return ~jnp.all(done)
+
+    def body(state):
+        ctx, cur, cache, out, n_out, done, it = state
+        pending = ctx[rows, cur - 1][:, None]                    # [B, 1]
+        drafts = draft(ctx, cur)                                 # [B, k]
+        inp = jnp.concatenate([pending, drafts], axis=1)         # [B, k+1]
+        len_before = cache["length"]
+        with impl_ctx():
+            logits, cache = forward(params, lora, inp, cfg, lcfg,
+                                    cache=cache)
+        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)   # [B, k+1]
+        # greedy[:, i] = model's token after consuming inp[:, :i+1];
+        # draft i is confirmed iff it equals greedy[:, i-1] and all
+        # earlier drafts were confirmed
+        acc = jnp.cumprod(drafts == greedy[:, :-1], axis=1)      # [B, k]
+        n_acc = 1 + jnp.sum(acc, axis=1)                         # [B] 1..k+1
+        idx = jnp.arange(k + 1)
+        # cut at the first accepted eos (the eos itself is emitted, like
+        # decode_loop), then cap by the remaining output budget
+        eos_pos = jnp.min(
+            jnp.where((greedy == eos_id) & (idx[None] < n_acc[:, None]),
+                      idx[None], k + 1), axis=1)
+        n_acc = jnp.minimum(n_acc, eos_pos + 1)
+        n_eff = jnp.minimum(n_acc, max_new_tokens - n_out)
+        n_eff = jnp.where(done, 0, n_eff)
+
+        wmask = idx[None] < n_eff[:, None]                       # [B, k+1]
+        out = out.at[
+            rows[:, None],
+            jnp.where(wmask, n_out[:, None] + idx[None], max_new_tokens),
+        ].set(jnp.where(wmask, greedy, 0), mode="drop")
+        ctx = ctx.at[
+            rows[:, None],
+            jnp.where(wmask, cur[:, None] + idx[None], C),
+        ].set(jnp.where(wmask, greedy, 0), mode="drop")
+        done = done | jnp.any((greedy == eos_id) & wmask, axis=1)
+        n_out = n_out + n_eff
+        cur = cur + n_eff
+        done = done | (n_out >= max_new_tokens)
+        # roll the cache back to the verified prefix: the chunk wrote k+1
+        # positions but only [pending, accepted drafts] are real context
+        cache = dict(cache, length=len_before + n_eff)
+        return ctx, cur, cache, out, n_out, done, it + 1
+
+    state = (ctx, cur, cache, out, n_out, done, jnp.int32(0))
+    state = jax.lax.while_loop(cond, body, state)
+    return state[3], state[2], state[6]
+
+
+def generate_speculative(
+    params, lora, ids, lengths, cfg, lcfg=LoraConfig(), *,
+    max_new_tokens: int = 256, eos_id: int = 2, max_len: Optional[int] = None,
+    draft_len: int = 8, ngram: int = 2,
+    decode_impl: Optional[str] = None, decode_params: Optional[dict] = None,
+    with_stats: bool = False,
+) -> jax.Array:
+    """Greedy generation with prompt-lookup speculation.
+
+    Token-identical to greedy ``generate()`` up to kernel numerics
+    (verification only ever accepts the model's own argmax, but the
+    chunked verify pass and the T=1 fused decode kernel have different
+    bf16 accumulation orders, so an argmax decided by a near-tie can
+    differ between the two paths — the standard speculative-decoding
+    caveat; tests/test_speculative.py pins it).  Retires up to
+    draft_len+1 tokens per weight pass when the continuation re-uses
+    earlier text.  GREEDY ONLY: sampled speculation needs rejection
+    sampling, which changes the sampler contract — use generate() for
+    temperature > 0.
+    """
+    from qlora_tpu.generate.engine import prefill
+
+    B, S = ids.shape
+    # room for the deepest possible overshoot: one full chunk past the cap
+    max_len = max_len or (S + max_new_tokens + draft_len + 1)
+    cache = init_cache(cfg, B, max_len)
+    last_logits, cache = prefill(params, lora, ids, lengths, cfg, lcfg,
+                                 cache=cache)
+    dec_params = params
+    if decode_impl == "int8":
+        if decode_params is None:
+            from qlora_tpu.generate.serve_int8 import (
+                requantize_params_int8_unstacked,
+            )
+
+            decode_params = requantize_params_int8_unstacked(params)
+        dec_params = decode_params
+    elif decode_impl is not None:
+        raise ValueError(f"decode_impl={decode_impl!r}: only 'int8' or None")
+    ctx = jnp.zeros((B, max_len), jnp.int32)
+    ctx = jax.vmap(
+        lambda c, row, ln: jax.lax.dynamic_update_slice(c, row, (0,))
+    )(ctx, ids, lengths)  # prompts are right-padded; pads beyond cur unused
+    toks, _, it = _spec_loop(
+        dec_params, lora, last_logits, cache, ctx, lengths,
+        cfg=cfg, lcfg=lcfg, max_new_tokens=max_new_tokens, eos_id=eos_id,
+        draft_len=draft_len, ngram=ngram, decode_impl=decode_impl,
+    )
+    if with_stats:
+        # verify chunks taken; tokens-per-chunk = generated / chunks
+        return toks, {"chunks": int(it)}
+    return toks

@@ -1,0 +1,114 @@
+"""Prompt-lookup speculative decoding: exact greedy equivalence.
+
+The invariant is strong: speculation may only change HOW MANY forward
+passes the rollout takes, never the tokens — verification accepts a draft
+only when it equals the model's own argmax, so the output must be
+bit-identical to plain greedy generate() on any input.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qlora_tpu.generate import generate
+from qlora_tpu.generate.speculative import generate_speculative
+from qlora_tpu.models import get_config, init_params
+
+
+@pytest.fixture(scope="module", params=["debug", "debug-neox"])
+def model(request):
+    cfg = get_config(request.param)
+    params = init_params(jax.random.PRNGKey(0), cfg, quantized=True)
+    return cfg, params
+
+
+def _assert_greedy_equiv(base, spec, params, cfg, ids, lengths, eos_id):
+    """Rows must match exactly — except that a divergence whose decision
+    margin is a near-tie is legitimate: the T=1 fused decode kernel (plain
+    generate) and the chunked verify pass (speculation) have different
+    bf16 accumulation orders, so an argmax decided by <0.05 logits can
+    flip between the two numeric paths (same caveat as
+    test_greedy_matches_full_forward).  At the first divergence we
+    recompute the full-forward logits and require a near-tie."""
+    from qlora_tpu.models import forward as _fwd
+
+    for b in range(base.shape[0]):
+        if (base[b] == spec[b]).all():
+            continue
+        d = int(np.argmax(base[b] != spec[b]))
+        L = int(lengths[b])
+        ctx = list(np.asarray(ids[b, :L])) + [int(t) for t in base[b, :d]]
+        logits = _fwd(params, None, jnp.asarray([ctx], jnp.int32), cfg)[0]
+        lg = np.asarray(logits[0, -1], np.float32)
+        top2 = np.sort(lg)[-2:]
+        margin = float(top2[1] - top2[0])
+        assert margin < 0.05, (
+            f"row {b} diverged at step {d} with a decisive margin "
+            f"{margin}: base {base[b]}, spec {spec[b]}")
+
+
+def _both(params, cfg, ids, lengths, n_new, **spec_kw):
+    base = np.asarray(generate(params, None, ids, lengths, cfg,
+                               max_new_tokens=n_new, eos_id=5,
+                               max_len=ids.shape[1] + n_new
+                               + spec_kw.get("draft_len", 8) + 1))
+    spec = np.asarray(generate_speculative(params, None, ids, lengths, cfg,
+                                           max_new_tokens=n_new, eos_id=5,
+                                           **spec_kw))
+    return base, spec
+
+
+def test_spec_matches_greedy_repetitive(model):
+    """Repetitive prompt: high draft acceptance, identical output."""
+    cfg, params = model
+    pat = [7, 3, 9, 4]
+    prompt = (pat * 6)[:20]
+    ids = jnp.asarray([prompt], jnp.int32)
+    lengths = jnp.asarray([len(prompt)], jnp.int32)
+    base, spec = _both(params, cfg, ids, lengths, 16, draft_len=4)
+    _assert_greedy_equiv(base, spec, params, cfg, ids, lengths, 5)
+
+
+def test_spec_matches_greedy_random(model):
+    """Adversarially random prompt: ~zero acceptance, still identical."""
+    cfg, params = model
+    rng = np.random.default_rng(3)
+    prompt = rng.integers(1, cfg.vocab_size, size=17).tolist()
+    ids = jnp.asarray([prompt], jnp.int32)
+    lengths = jnp.asarray([len(prompt)], jnp.int32)
+    base, spec = _both(params, cfg, ids, lengths, 12, draft_len=6, ngram=3)
+    _assert_greedy_equiv(base, spec, params, cfg, ids, lengths, 5)
+
+
+def test_spec_batch_with_padding(model):
+    """Rows of different lengths retire at different rates; eos-padded
+    outputs must still match plain greedy row-for-row."""
+    cfg, params = model
+    rng = np.random.default_rng(11)
+    p1 = rng.integers(1, cfg.vocab_size, size=9).tolist()
+    p2 = ([2, 8, 2, 8] * 4)[:14]
+    S = max(len(p1), len(p2))
+    ids = np.zeros((2, S), np.int32)
+    ids[0, :len(p1)] = p1
+    ids[1, :len(p2)] = p2
+    ids = jnp.asarray(ids)
+    lengths = jnp.asarray([len(p1), len(p2)], jnp.int32)
+    base, spec = _both(params, cfg, ids, lengths, 10, draft_len=3)
+    _assert_greedy_equiv(base, spec, params, cfg, ids, lengths, 5)
+
+
+def test_spec_int8_runs(model):
+    """decode_impl='int8' composes; first tokens match the int8 generate."""
+    cfg, params = model
+    prompt = ([4, 9, 4, 9] * 5)[:16]
+    ids = jnp.asarray([prompt], jnp.int32)
+    lengths = jnp.asarray([16], jnp.int32)
+    i8 = np.asarray(generate(params, None, ids, lengths, cfg,
+                             max_new_tokens=8, eos_id=-1,
+                             decode_impl="int8"))
+    spec = np.asarray(generate_speculative(params, None, ids, lengths, cfg,
+                                           max_new_tokens=8, eos_id=-1,
+                                           draft_len=4, decode_impl="int8"))
+    assert spec.shape == i8.shape
+    assert (spec[0, :2] == i8[0, :2]).all(), (spec, i8)
