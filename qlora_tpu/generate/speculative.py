@@ -33,18 +33,76 @@ import jax.numpy as jnp
 from qlora_tpu.lora import LoraConfig
 from qlora_tpu.models.config import ModelConfig
 from qlora_tpu.models.transformer import forward, init_cache
+from qlora_tpu.generate.sampler import (
+    SamplingParams, top_k_mask, top_p_mask, typical_p_mask,
+)
+
+
+def _target_probs(logits, sparams):
+    """Temperature/top-k/top-p/typical-p-adjusted target distribution —
+    the same per-step distribution sample_token draws from."""
+    if sparams.temperature != 1.0:
+        logits = logits / jnp.maximum(sparams.temperature, 1e-6)
+    logits = top_k_mask(logits, sparams.top_k)
+    logits = top_p_mask(logits, sparams.top_p)
+    logits = typical_p_mask(logits, sparams.typical_p)
+    return jax.nn.softmax(logits, axis=-1)
+
+
+def accept_and_resample(rng, probs, drafts):
+    """Speculative rejection sampling with a DETERMINISTIC (point-mass)
+    draft distribution — the Leviathan et al. scheme specialized to
+    prompt-lookup drafts.
+
+    probs [B, k+1, V]: target distribution at each chunk position;
+    drafts [B, k].  Draft i is accepted with probability probs[b, i, d_i]
+    (q is a point mass, so min(1, p/q) = p(d)); at the FIRST rejection
+    the replacement token is drawn from the residual — p with the
+    rejected draft's mass removed, renormalized — and if every draft is
+    accepted the bonus token samples probs[:, k].  This makes the OUTPUT
+    SEQUENCE distribution exactly ancestral sampling from p, whatever
+    the drafts are (unit-tested distributionally in
+    tests/test_speculative.py).
+
+    Returns (tokens [B, k+1], n_acc [B]): tokens[b, :n_acc[b]] are the
+    emitted tokens (n_acc = accepted drafts + 1)."""
+    B, k1, V = probs.shape
+    k = k1 - 1
+    ru, rs = jax.random.split(rng)
+    u = jax.random.uniform(ru, (B, k))
+    p_d = jnp.take_along_axis(probs[:, :k], drafts[..., None], -1)[..., 0]
+    acc = jnp.cumprod(u < p_d, axis=1)                       # [B, k]
+    j = jnp.sum(acc, axis=1)                                 # accepted count
+    rows = jnp.arange(B)
+    pos = jnp.minimum(j, k)
+    p_fin = probs[rows, pos]                                 # [B, V]
+    rejected = j < k
+    d_rej = drafts[rows, jnp.minimum(j, k - 1)]
+    p_fin = jnp.where(
+        rejected[:, None],
+        p_fin * (1.0 - jax.nn.one_hot(d_rej, V, dtype=p_fin.dtype)),
+        p_fin,
+    )
+    fin = jax.random.categorical(
+        rs, jnp.log(jnp.maximum(p_fin, 1e-38)), axis=-1
+    ).astype(jnp.int32)
+    tokens = jnp.concatenate(
+        [drafts, jnp.zeros((B, 1), jnp.int32)], axis=1)
+    tokens = tokens.at[rows, j].set(fin)
+    return tokens, j + 1
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "lcfg", "max_new_tokens", "eos_id",
-                     "draft_len", "ngram", "decode_impl"),
+                     "draft_len", "ngram", "decode_impl", "sparams"),
 )
 def _spec_loop(
-    params, lora, first_logits, cache, ctx, cur,
+    params, lora, first_logits, cache, ctx, cur, rng,
     *, cfg: ModelConfig, lcfg: LoraConfig, max_new_tokens: int,
     eos_id: int, draft_len: int, ngram: int,
     decode_impl: Optional[str] = None,
+    sparams: Optional[SamplingParams] = None,
 ):
     """ctx [B, C]: prompt tokens (row b valid through cur[b]); cache holds
     the prefilled prompt KV with per-row length == cur.  Returns
@@ -63,8 +121,17 @@ def _spec_loop(
     impl_ctx = (functools.partial(default_impl, "w8a8") if decode_impl
                 else contextlib.nullcontext)
 
+    sampled = sparams is not None and sparams.do_sample
+
     # first token comes from the prefill logits (matches decode_loop)
-    t0 = jnp.argmax(first_logits, axis=-1).astype(jnp.int32)      # [B]
+    if sampled:
+        rng, sub0 = jax.random.split(rng)
+        t0 = jax.random.categorical(
+            sub0, jnp.log(jnp.maximum(
+                _target_probs(first_logits, sparams), 1e-38)), axis=-1
+        ).astype(jnp.int32)
+    else:
+        t0 = jnp.argmax(first_logits, axis=-1).astype(jnp.int32)  # [B]
     out = jnp.full((B, max_new_tokens), eos_id, jnp.int32)
     out = out.at[:, 0].set(t0)
     done = (t0 == eos_id) | (max_new_tokens <= 1)
@@ -93,11 +160,11 @@ def _spec_loop(
         )(ctx, start)
 
     def cond(state):
-        _, _, _, _, _, done, _ = state
+        _, _, _, _, _, done, _, _ = state
         return ~jnp.all(done)
 
     def body(state):
-        ctx, cur, cache, out, n_out, done, it = state
+        ctx, cur, cache, out, n_out, done, it, rng = state
         pending = ctx[rows, cur - 1][:, None]                    # [B, 1]
         drafts = draft(ctx, cur)                                 # [B, k]
         inp = jnp.concatenate([pending, drafts], axis=1)         # [B, k+1]
@@ -105,17 +172,24 @@ def _spec_loop(
         with impl_ctx():
             logits, cache = forward(params, lora, inp, cfg, lcfg,
                                     cache=cache)
-        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)   # [B, k+1]
-        # greedy[:, i] = model's token after consuming inp[:, :i+1];
-        # draft i is confirmed iff it equals greedy[:, i-1] and all
-        # earlier drafts were confirmed
-        acc = jnp.cumprod(drafts == greedy[:, :-1], axis=1)      # [B, k]
-        n_acc = 1 + jnp.sum(acc, axis=1)                         # [B] 1..k+1
+        # logits[:, i] = model's distribution after consuming inp[:, :i+1]
+        if sampled:
+            rng, sub = jax.random.split(rng)
+            probs = _target_probs(
+                logits.reshape(B * (k + 1), -1), sparams
+            ).reshape(B, k + 1, -1)
+            toks, n_acc = accept_and_resample(sub, probs, drafts)
+        else:
+            toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, k+1]
+            # draft i is confirmed iff it equals the argmax and all
+            # earlier drafts were confirmed
+            acc = jnp.cumprod(drafts == toks[:, :-1], axis=1)     # [B, k]
+            n_acc = 1 + jnp.sum(acc, axis=1)                      # 1..k+1
         idx = jnp.arange(k + 1)
         # cut at the first accepted eos (the eos itself is emitted, like
         # decode_loop), then cap by the remaining output budget
         eos_pos = jnp.min(
-            jnp.where((greedy == eos_id) & (idx[None] < n_acc[:, None]),
+            jnp.where((toks == eos_id) & (idx[None] < n_acc[:, None]),
                       idx[None], k + 1), axis=1)
         n_acc = jnp.minimum(n_acc, eos_pos + 1)
         n_eff = jnp.minimum(n_acc, max_new_tokens - n_out)
@@ -125,21 +199,21 @@ def _spec_loop(
         out = out.at[
             rows[:, None],
             jnp.where(wmask, n_out[:, None] + idx[None], max_new_tokens),
-        ].set(jnp.where(wmask, greedy, 0), mode="drop")
+        ].set(jnp.where(wmask, toks, 0), mode="drop")
         ctx = ctx.at[
             rows[:, None],
             jnp.where(wmask, cur[:, None] + idx[None], C),
-        ].set(jnp.where(wmask, greedy, 0), mode="drop")
-        done = done | jnp.any((greedy == eos_id) & wmask, axis=1)
+        ].set(jnp.where(wmask, toks, 0), mode="drop")
+        done = done | jnp.any((toks == eos_id) & wmask, axis=1)
         n_out = n_out + n_eff
         cur = cur + n_eff
         done = done | (n_out >= max_new_tokens)
         # roll the cache back to the verified prefix: the chunk wrote k+1
         # positions but only [pending, accepted drafts] are real context
         cache = dict(cache, length=len_before + n_eff)
-        return ctx, cur, cache, out, n_out, done, it + 1
+        return ctx, cur, cache, out, n_out, done, it + 1, rng
 
-    state = (ctx, cur, cache, out, n_out, done, jnp.int32(0))
+    state = (ctx, cur, cache, out, n_out, done, jnp.int32(0), rng)
     state = jax.lax.while_loop(cond, body, state)
     return state[3], state[2], state[6]
 
@@ -149,6 +223,7 @@ def generate_speculative(
     max_new_tokens: int = 256, eos_id: int = 2, max_len: Optional[int] = None,
     draft_len: int = 8, ngram: int = 2,
     decode_impl: Optional[str] = None, decode_params: Optional[dict] = None,
+    sparams: Optional[SamplingParams] = None, rng: Optional[jax.Array] = None,
     with_stats: bool = False,
 ) -> jax.Array:
     """Greedy generation with prompt-lookup speculation.
@@ -160,12 +235,27 @@ def generate_speculative(
     differ between the two paths — the standard speculative-decoding
     caveat; tests/test_speculative.py pins it).  Retires up to
     draft_len+1 tokens per weight pass when the continuation re-uses
-    earlier text.  GREEDY ONLY: sampled speculation needs rejection
-    sampling, which changes the sampler contract — use generate() for
-    temperature > 0.
+    earlier text.
+
+    SAMPLED decoding (sparams.do_sample) runs speculative REJECTION
+    sampling (accept_and_resample): each draft is accepted with the
+    target distribution's own probability of that token, and the first
+    rejection resamples from the renormalized residual — the output
+    sequence distribution is exactly ancestral sampling from the
+    temperature/top-k/top-p-adjusted distribution, regardless of the
+    drafts.  repetition_penalty / no_repeat_ngram_size do not compose
+    with speculation (they make the target distribution depend on tokens
+    emitted INSIDE the chunk) — use generate() for those.
     """
     from qlora_tpu.generate.engine import prefill
 
+    if sparams is not None and sparams.do_sample and (
+            sparams.repetition_penalty != 1.0
+            or sparams.no_repeat_ngram_size > 0):
+        raise NotImplementedError(
+            "repetition_penalty / no_repeat_ngram_size do not compose with "
+            "speculative decoding (in-chunk history dependence); use "
+            "generate()")
     B, S = ids.shape
     # room for the deepest possible overshoot: one full chunk past the cap
     max_len = max_len or (S + max_new_tokens + draft_len + 1)
@@ -189,8 +279,10 @@ def generate_speculative(
     )(ctx, ids, lengths)  # prompts are right-padded; pads beyond cur unused
     toks, _, it = _spec_loop(
         dec_params, lora, last_logits, cache, ctx, lengths,
+        rng if rng is not None else jax.random.PRNGKey(0),
         cfg=cfg, lcfg=lcfg, max_new_tokens=max_new_tokens, eos_id=eos_id,
         draft_len=draft_len, ngram=ngram, decode_impl=decode_impl,
+        sparams=sparams,
     )
     if with_stats:
         # verify chunks taken; tokens-per-chunk = generated / chunks

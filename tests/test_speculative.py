@@ -112,3 +112,69 @@ def test_spec_int8_runs(model):
                                            draft_len=4, decode_impl="int8"))
     assert spec.shape == i8.shape
     assert (spec[0, :2] == i8[0, :2]).all(), (spec, i8)
+
+
+def test_accept_and_resample_is_exact():
+    """Distributional exactness of speculative rejection sampling: for ANY
+    fixed drafts, the emitted first token's distribution equals the target
+    p — accept d w.p. p(d), else sample the renormalized residual, which
+    telescopes back to exactly p (Leviathan et al.).  Verified empirically
+    on a tiny vocab with 40k vectorized draws."""
+    from qlora_tpu.generate.speculative import accept_and_resample
+
+    V, k, n = 8, 1, 40000
+    p = np.asarray([0.30, 0.02, 0.18, 0.05, 0.20, 0.10, 0.05, 0.10],
+                   np.float32)
+    probs = jnp.broadcast_to(jnp.asarray(p), (n, k + 1, V))
+    for d in (0, 1, 4):     # high-, low-, mid-probability drafts
+        drafts = jnp.full((n, k), d, jnp.int32)
+        keys = jax.random.PRNGKey(d)
+        toks, n_acc = jax.jit(accept_and_resample)(keys, probs, drafts)
+        toks = np.asarray(toks)
+        n_acc = np.asarray(n_acc)
+        first = toks[:, 0]      # emitted first token (draft or resample)
+        emp = np.bincount(first, minlength=V) / n
+        tv = 0.5 * np.abs(emp - p).sum()
+        assert tv < 0.02, (d, tv, emp)
+        # acceptance rate of the draft must be ~p(d)
+        acc_rate = float((n_acc == 2).mean())
+        assert abs(acc_rate - p[d]) < 0.02, (d, acc_rate)
+
+
+def test_spec_sampled_reproducible_and_low_temp_matches_greedy(model):
+    """Same rng → same sampled output; temperature→0 collapses to the
+    greedy speculative rollout."""
+    from qlora_tpu.generate import SamplingParams
+
+    cfg, params = model
+    prompt = ([6, 2, 9] * 6)[:15]
+    ids = jnp.asarray([prompt], jnp.int32)
+    lengths = jnp.asarray([15], jnp.int32)
+    sp = SamplingParams(do_sample=True, temperature=0.8, top_p=0.95)
+    a = np.asarray(generate_speculative(
+        params, None, ids, lengths, cfg, max_new_tokens=12, eos_id=5,
+        draft_len=4, sparams=sp, rng=jax.random.PRNGKey(7)))
+    b = np.asarray(generate_speculative(
+        params, None, ids, lengths, cfg, max_new_tokens=12, eos_id=5,
+        draft_len=4, sparams=sp, rng=jax.random.PRNGKey(7)))
+    assert (a == b).all()
+
+    cold = SamplingParams(do_sample=True, temperature=1e-4)
+    c = np.asarray(generate_speculative(
+        params, None, ids, lengths, cfg, max_new_tokens=12, eos_id=5,
+        draft_len=4, sparams=cold, rng=jax.random.PRNGKey(0)))
+    g = np.asarray(generate_speculative(
+        params, None, ids, lengths, cfg, max_new_tokens=12, eos_id=5,
+        draft_len=4))
+    assert (c == g).all(), (c, g)
+
+
+def test_spec_sampled_rejects_history_penalties(model):
+    from qlora_tpu.generate import SamplingParams
+
+    cfg, params = model
+    ids = jnp.asarray([[1, 2, 3]], jnp.int32)
+    with pytest.raises(NotImplementedError):
+        generate_speculative(
+            params, None, ids, jnp.asarray([3], jnp.int32), cfg,
+            sparams=SamplingParams(do_sample=True, repetition_penalty=1.3))
