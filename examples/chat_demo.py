@@ -40,6 +40,11 @@ def main():
                     help="int8: token loop through the direct int8 MXU "
                          "serving kernels (~3x decode at 7B; prefill "
                          "stays bf16-exact)")
+    ap.add_argument("--speculative", type=int, default=0, metavar="K",
+                    help="prompt-lookup speculative decoding with K-token "
+                         "drafts (0 = off): each device dispatch retires "
+                         "1..K+1 tokens; sampled outputs stay exactly "
+                         "distributed via rejection sampling")
     args = ap.parse_args()
 
     params, cfg = load_hf_model(args.model_path, quantize_base=True)
@@ -75,13 +80,26 @@ def main():
         ids = [tokenizer.bos_token_id] + tokenizer.encode(prompt)
         reply_ids = []
         print("bot> ", end="", flush=True)
-        for tok in generate_stream(
-            params, lora, jnp.asarray([ids], jnp.int32),
-            jnp.asarray([len(ids)]), cfg, lcfg,
-            max_new_tokens=args.max_new_tokens,
-            eos_id=tokenizer.eos_token_id, sparams=sp,
-            decode_impl=args.decode_impl, decode_params=decode_params,
-        ):
+        if args.speculative > 0:
+            from qlora_tpu.generate import generate_stream_speculative
+
+            stream = generate_stream_speculative(
+                params, lora, jnp.asarray([ids], jnp.int32),
+                jnp.asarray([len(ids)]), cfg, lcfg,
+                max_new_tokens=args.max_new_tokens,
+                eos_id=tokenizer.eos_token_id, sparams=sp,
+                draft_len=args.speculative,
+                decode_impl=args.decode_impl, decode_params=decode_params,
+            )
+        else:
+            stream = generate_stream(
+                params, lora, jnp.asarray([ids], jnp.int32),
+                jnp.asarray([len(ids)]), cfg, lcfg,
+                max_new_tokens=args.max_new_tokens,
+                eos_id=tokenizer.eos_token_id, sparams=sp,
+                decode_impl=args.decode_impl, decode_params=decode_params,
+            )
+        for tok in stream:
             t = int(tok[0])
             if t == tokenizer.eos_token_id:
                 break

@@ -133,6 +133,7 @@ class ChatEngine:
         self.sparams = SamplingParams(
             do_sample=True, temperature=args.temperature, top_p=args.top_p)
         self.max_new_tokens = args.max_new_tokens
+        self.speculative = getattr(args, "speculative", 0)
         self.decode_impl = getattr(args, "decode_impl", None)
         self.decode_params = None
         if self.decode_impl == "int8":
@@ -152,14 +153,28 @@ class ChatEngine:
         stop = "### Human:"
         reply_ids, sent = [], 0
         with self.lock:
-            for step in generate_stream(
-                self.params, self.lora, jnp.asarray([ids], jnp.int32),
-                jnp.asarray([len(ids)]), self.cfg, self.lcfg,
-                max_new_tokens=self.max_new_tokens,
-                eos_id=tok.eos_token_id, sparams=self.sparams,
-                decode_impl=self.decode_impl,
-                decode_params=self.decode_params,
-            ):
+            if self.speculative > 0:
+                from qlora_tpu.generate import generate_stream_speculative
+
+                stream = generate_stream_speculative(
+                    self.params, self.lora, jnp.asarray([ids], jnp.int32),
+                    jnp.asarray([len(ids)]), self.cfg, self.lcfg,
+                    max_new_tokens=self.max_new_tokens,
+                    eos_id=tok.eos_token_id, sparams=self.sparams,
+                    draft_len=self.speculative,
+                    decode_impl=self.decode_impl,
+                    decode_params=self.decode_params,
+                )
+            else:
+                stream = generate_stream(
+                    self.params, self.lora, jnp.asarray([ids], jnp.int32),
+                    jnp.asarray([len(ids)]), self.cfg, self.lcfg,
+                    max_new_tokens=self.max_new_tokens,
+                    eos_id=tok.eos_token_id, sparams=self.sparams,
+                    decode_impl=self.decode_impl,
+                    decode_params=self.decode_params,
+                )
+            for step in stream:
                 t = int(step[0])
                 if t == tok.eos_token_id:
                     break
@@ -246,6 +261,10 @@ def main():
                     help="int8: token loop through the direct int8 MXU "
                          "serving kernels (~3x decode at 7B; prefill "
                          "stays bf16-exact)")
+    ap.add_argument("--speculative", type=int, default=0, metavar="K",
+                    help="prompt-lookup speculative decoding with K-token "
+                         "drafts (0 = off); sampled outputs stay exactly "
+                         "distributed via rejection sampling")
     args = ap.parse_args()
     if not args.debug and not args.model_path:
         ap.error("--model_path required (or --debug)")

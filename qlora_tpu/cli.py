@@ -96,6 +96,9 @@ class Args:
     num_beam_groups: int = 1
     penalty_alpha: Optional[float] = None
     use_cache: bool = True
+    # TPU-native extension: route the predict token loop through the
+    # offline int8 serving copy (greedy/sampled only; prefill stays exact)
+    predict_decode_impl: Optional[str] = None
     # reference-compat flags accepted for script parity (some are no-ops on
     # TPU — the trainer always runs bf16 compute, single in-process host)
     cache_dir: Optional[str] = None
@@ -890,6 +893,14 @@ def _run_predict(args, params, state, cfg, lcfg, tokenizer, collator, mode):
     )
     lora = state.trainable if mode == "lora" else None
     base = params if mode == "lora" else state.trainable
+    decode_params = None
+    if args.predict_decode_impl == "int8":
+        # serving copy built once, reused across predict batches
+        from qlora_tpu.generate.serve_int8 import (
+            requantize_params_int8_unstacked,
+        )
+
+        decode_params = requantize_params_int8_unstacked(base)
     bs = max(args.per_device_eval_batch_size, 1)
     out_path = os.path.join(args.output_dir, "predictions.jsonl")
     with open(out_path, "w") as f:
@@ -908,6 +919,8 @@ def _run_predict(args, params, state, cfg, lcfg, tokenizer, collator, mode):
                 penalty_alpha=args.penalty_alpha,
                 eos_id=tokenizer.eos_token_id, sparams=sp,
                 rng=jax.random.PRNGKey(args.seed),
+                decode_impl=args.predict_decode_impl,
+                decode_params=decode_params,
             )
             for ex, row in zip(chunk[:n_real], np.asarray(toks)[:n_real]):
                 text = tokenizer.decode(

@@ -3,12 +3,13 @@
 from .sampler import SamplingParams, sample_token, top_k_mask, top_p_mask
 from .engine import beam_search, decode_loop, generate, generate_stream, prefill
 from .search import contrastive_search, group_beam_search
-from .speculative import generate_speculative
+from .speculative import generate_speculative, generate_stream_speculative
 
 __all__ = [
     "SamplingParams", "sample_token", "top_k_mask", "top_p_mask",
     "generate", "generate_stream", "prefill", "decode_loop", "beam_search",
     "group_beam_search", "contrastive_search", "generate_speculative",
+    "generate_stream_speculative",
 ]
 
 

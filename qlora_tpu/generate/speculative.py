@@ -288,3 +288,124 @@ def generate_speculative(
         # verify chunks taken; tokens-per-chunk = generated / chunks
         return toks, {"chunks": int(it)}
     return toks
+
+
+def generate_stream_speculative(
+    params, lora, ids, lengths, cfg, lcfg=LoraConfig(), *,
+    max_new_tokens: int = 256, eos_id: int = 2, max_len: Optional[int] = None,
+    draft_len: int = 8, ngram: int = 2,
+    decode_impl: Optional[str] = None, decode_params: Optional[dict] = None,
+    sparams: Optional[SamplingParams] = None, rng: Optional[jax.Array] = None,
+):
+    """Streaming prompt-lookup speculation (B=1): yields accepted tokens as
+    each verify chunk lands — the chat-demo path, where every device
+    dispatch pays a fixed host/relay cost and a chunk retires 1..k+1
+    tokens instead of 1.  Same acceptance semantics as
+    generate_speculative (greedy-exact / rejection-sampled); drafts are
+    matched host-side, but the OUTPUT does not depend on draft quality —
+    only the number of chunks does."""
+    import numpy as np
+
+    from qlora_tpu.generate.engine import prefill
+    from qlora_tpu.models.unstack import (
+        unstack_cache, unstack_lora, unstack_params,
+    )
+    from qlora_tpu.ops.qmatmul import default_impl
+
+    B, S = ids.shape
+    assert B == 1, "streaming speculation is single-stream (B=1)"
+    if sparams is not None and sparams.do_sample and (
+            sparams.repetition_penalty != 1.0
+            or sparams.no_repeat_ngram_size > 0):
+        raise NotImplementedError(
+            "repetition_penalty / no_repeat_ngram_size do not compose with "
+            "speculative decoding; use generate_stream()")
+    sampled = sparams is not None and sparams.do_sample
+    k = draft_len
+    max_len = max_len or (S + max_new_tokens + k + 1)
+    cache = init_cache(cfg, B, max_len)
+    logits0, cache = prefill(params, lora, ids, lengths, cfg, lcfg,
+                             cache=cache)
+    if decode_impl == "int8":
+        if decode_params is None:
+            from qlora_tpu.generate.serve_int8 import (
+                requantize_params_int8_unstacked,
+            )
+
+            decode_params = requantize_params_int8_unstacked(params)
+        params = decode_params
+    elif decode_impl is not None:
+        raise ValueError(f"decode_impl={decode_impl!r}: only 'int8' or None")
+    else:
+        params = unstack_params(params)
+    impl_ctx = (functools.partial(default_impl, "w8a8") if decode_impl
+                else contextlib.nullcontext)
+    lora = unstack_lora(lora, cfg.num_layers)
+    cache = unstack_cache(cache)
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def chunk(cache, inp, sub):
+        with impl_ctx():
+            logits, cache = forward(params, lora, inp, cfg, lcfg,
+                                    cache=cache)
+        if sampled:
+            probs = _target_probs(logits[0], sparams)[None]     # [1,k+1,V]
+            toks, n_acc = accept_and_resample(sub, probs, inp[:, 1:])
+            return toks[0], n_acc[0], cache
+        toks = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)  # [k+1]
+        acc = jnp.cumprod(inp[0, 1:] == toks[:-1])
+        return toks, 1 + jnp.sum(acc), cache
+
+    # host-side context and draft lookup (same latest-earlier-occurrence
+    # rule as the in-graph matcher); the verified cache length lives as a
+    # HOST int — the cache dict is donated every chunk, so holding a
+    # reference to its old `length` buffer would read deleted memory
+    ctx = list(np.asarray(ids[0, : int(lengths[0])]))
+    cur_len = int(lengths[0])
+
+    def host_draft():
+        if len(ctx) < ngram + 1:
+            return [0] * k
+        tail = ctx[-ngram:]
+        for i in range(len(ctx) - ngram - 1, -1, -1):
+            if ctx[i:i + ngram] == tail:
+                d = ctx[i + ngram:i + ngram + k]
+                return (d + [0] * k)[:k]
+        return [0] * k
+
+    # first token from the prefill logits
+    if sampled:
+        rng, sub0 = jax.random.split(rng)
+        t0 = int(jax.random.categorical(
+            sub0, jnp.log(jnp.maximum(_target_probs(logits0, sparams),
+                                      1e-38)), axis=-1)[0])
+    else:
+        t0 = int(jnp.argmax(logits0[0]))
+    yield np.asarray([t0])
+    n_out = 1
+    if t0 == eos_id or n_out >= max_new_tokens:
+        return
+    ctx.append(t0)
+
+    while n_out < max_new_tokens:
+        drafts = host_draft()
+        inp = jnp.asarray([[ctx[-1], *drafts]], jnp.int32)
+        rng, sub = jax.random.split(rng)
+        cache = dict(cache, length=jnp.full((1,), cur_len, jnp.int32))
+        toks, n_acc, cache = chunk(cache, inp, sub)
+        toks = np.asarray(toks)
+        n = min(int(n_acc), max_new_tokens - n_out)
+        stop = False
+        for i in range(n):
+            t = int(toks[i])
+            yield np.asarray([t])
+            n_out += 1
+            if t == eos_id:
+                stop = True
+                n = i + 1
+                break
+            ctx.append(t)
+        cur_len += n     # roll back to the verified prefix
+        if stop:
+            return

@@ -381,3 +381,25 @@ def test_padded_batches_cover_all_examples():
     assert (masked["labels"][2:] == -100).all()
     assert (masked["labels"][:2] == 1).all()
     assert (batch["labels"] == 1).all()  # caller's array untouched
+
+
+def test_predict_int8_decode_impl(tmp_path):
+    """--predict_decode_impl int8 routes trainer.predict's token loop
+    through the offline int8 serving copy (exact prefill); predictions
+    must be written for every example."""
+    data = _write_alpaca(tmp_path, n=32)
+    out = str(tmp_path / "out_i8")
+    args = Args(
+        model_name_or_path="debug-neox", init_random=True,
+        fake_tokenizer=True, dataset=data, output_dir=out,
+        max_steps=1, per_device_train_batch_size=4,
+        gradient_accumulation_steps=1, learning_rate=5e-3, lora_r=4,
+        source_max_len=48, target_max_len=24, do_train=True,
+        do_eval=False, do_predict=True, eval_dataset_size=6,
+        max_eval_samples=5, per_device_eval_batch_size=2,
+        max_new_tokens=4, predict_decode_impl="int8", seed=0,
+    )
+    metrics = train(args)
+    lines = open(metrics["predictions_path"]).read().splitlines()
+    assert len(lines) == 5
+    assert all("prediction" in json.loads(l) for l in lines)

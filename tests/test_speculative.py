@@ -178,3 +178,27 @@ def test_spec_sampled_rejects_history_penalties(model):
         generate_speculative(
             params, None, ids, jnp.asarray([3], jnp.int32), cfg,
             sparams=SamplingParams(do_sample=True, repetition_penalty=1.3))
+
+
+def test_stream_spec_matches_batch_spec(model):
+    """The streaming host-loop and the in-graph while_loop use the same
+    chunked verify kernel, so greedy outputs must match token-for-token
+    (drafts may differ; acceptance makes output draft-independent)."""
+    from qlora_tpu.generate.speculative import generate_stream_speculative
+
+    cfg, params = model
+    prompt = ([5, 12, 7, 12] * 5)[:18]
+    ids = jnp.asarray([prompt], jnp.int32)
+    lengths = jnp.asarray([18], jnp.int32)
+    batch = np.asarray(generate_speculative(
+        params, None, ids, lengths, cfg, max_new_tokens=12, eos_id=3,
+        draft_len=4))
+    streamed = [int(t[0]) for t in generate_stream_speculative(
+        params, None, ids, lengths, cfg, max_new_tokens=12, eos_id=3,
+        draft_len=4)]
+    # streamed stops at eos; batch output is eos-padded
+    want = list(batch[0])
+    assert streamed == want[:len(streamed)], (streamed, want)
+    if len(streamed) < 12:
+        assert streamed[-1] == 3 or len(streamed) == 12
+        assert all(t == 3 for t in want[len(streamed):])
