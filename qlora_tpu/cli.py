@@ -67,6 +67,10 @@ class Args:
     learning_rate: float = 2e-4
     max_grad_norm: float = 0.3
     gradient_checkpointing: bool = True
+    # remat policy when gradient_checkpointing is on (transformer._remat_wrap):
+    # "save_linear" keeps the MXU-heavy outputs (faster, more HBM);
+    # "full" saves only layer boundaries (reference semantics, min memory)
+    remat_policy: str = "save_linear"
     do_train: bool = True
     do_eval: bool = False
     do_predict: bool = False
@@ -650,6 +654,8 @@ def train(args: Args) -> dict:
                 cfg, lcfg, optimizer,
                 accum_steps=args.gradient_accumulation_steps,
                 donate=False, mode=mode,
+                remat=(args.remat_policy if args.gradient_checkpointing
+                       else False),
             )
         eval_fn = make_eval_step(cfg, lcfg, mode=mode) if (
             args.do_eval and eval_ds

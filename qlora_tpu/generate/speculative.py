@@ -83,8 +83,16 @@ def accept_and_resample(rng, probs, drafts):
         p_fin * (1.0 - jax.nn.one_hot(d_rej, V, dtype=p_fin.dtype)),
         p_fin,
     )
-    fin = jax.random.categorical(
-        rs, jnp.log(jnp.maximum(p_fin, 1e-38)), axis=-1
+    # zero-mass tokens (top-k/top-p-masked, or the rejected draft whose
+    # mass was just zeroed) must stay unsampleable: -inf logits, not a
+    # floor.  If the residual underflows to all-zeros (leaked f32 mass)
+    # fall back to the residual-free target's argmax rather than a
+    # near-uniform categorical over the whole vocab.
+    logp = jnp.where(p_fin > 0, jnp.log(p_fin), -jnp.inf)
+    fin = jnp.where(
+        jnp.sum(p_fin, axis=-1) > 0,
+        jax.random.categorical(rs, logp, axis=-1),
+        jnp.argmax(probs[rows, pos], axis=-1),
     ).astype(jnp.int32)
     tokens = jnp.concatenate(
         [drafts, jnp.zeros((B, 1), jnp.int32)], axis=1)
@@ -126,9 +134,9 @@ def _spec_loop(
     # first token comes from the prefill logits (matches decode_loop)
     if sampled:
         rng, sub0 = jax.random.split(rng)
+        p0 = _target_probs(first_logits, sparams)
         t0 = jax.random.categorical(
-            sub0, jnp.log(jnp.maximum(
-                _target_probs(first_logits, sparams), 1e-38)), axis=-1
+            sub0, jnp.where(p0 > 0, jnp.log(p0), -jnp.inf), axis=-1
         ).astype(jnp.int32)
     else:
         t0 = jnp.argmax(first_logits, axis=-1).astype(jnp.int32)  # [B]
@@ -225,8 +233,12 @@ def generate_speculative(
     decode_impl: Optional[str] = None, decode_params: Optional[dict] = None,
     sparams: Optional[SamplingParams] = None, rng: Optional[jax.Array] = None,
     with_stats: bool = False,
-) -> jax.Array:
+) -> "jax.Array | tuple[jax.Array, dict]":
     """Greedy generation with prompt-lookup speculation.
+
+    Returns tokens [B, max_new_tokens]; with ``with_stats`` a
+    ``(tokens, {"chunks": int})`` tuple instead — note the stats path
+    forces one host sync (``int(chunks)``) to materialize the count.
 
     Token-identical to greedy ``generate()`` up to kernel numerics
     (verification only ever accepts the model's own argmax, but the
@@ -377,9 +389,9 @@ def generate_stream_speculative(
     # first token from the prefill logits
     if sampled:
         rng, sub0 = jax.random.split(rng)
+        p0 = _target_probs(logits0, sparams)
         t0 = int(jax.random.categorical(
-            sub0, jnp.log(jnp.maximum(_target_probs(logits0, sparams),
-                                      1e-38)), axis=-1)[0])
+            sub0, jnp.where(p0 > 0, jnp.log(p0), -jnp.inf), axis=-1)[0])
     else:
         t0 = int(jnp.argmax(logits0[0]))
     yield np.asarray([t0])

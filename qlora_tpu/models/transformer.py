@@ -25,6 +25,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from qlora_tpu.lora import LoraConfig, apply_lora, init_lora
 from qlora_tpu.models.config import ModelConfig
@@ -89,7 +90,11 @@ def _block_linear(block, lora, name, x, lcfg: LoraConfig, rng, tp_mode="auto"):
         # output); for "row_partial" its A is K-sharded (partial output) —
         # either way the shapes line up and the caller reduces once
         y = y + apply_lora(x, lora[name], lcfg.scale, lcfg.dropout, sub)
-    return y
+    # named for the selective-remat policy (remat="save_linear"): the NF4
+    # dequant-matmuls run inside pallas calls, which the stock dot-output
+    # policies (jax.checkpoint_policies.dots_*) never match — only named
+    # residuals can keep them out of the remat re-forward
+    return checkpoint_name(y, "linear_out")
 
 
 def _megatron_axis():
@@ -145,19 +150,37 @@ def _attn(cfg, block, lora, lcfg, x, cos, sin, mask, cache_kv, pos, rng,
     k = apply_rope(k, cos, sin, rotary_dim)
 
     if cache_kv is not None and len(cache_kv) == 3:
-        # paged decode (S == 1): ONE fused kernel appends the token into
-        # its page in place (aliased pool) and attends over the sequence's
-        # valid pages — no scatter, ≈length HBM traffic per step
-        from qlora_tpu.ops.paged_attention import fused_paged_decode_attention
-
         k_pages, v_pages, tables = cache_kv       # [np,KVH,P,hd] ×2, [B,mp]
-        o, k_pages, v_pages = fused_paged_decode_attention(
-            q[:, 0].astype(jnp.bfloat16), k[:, 0], v[:, 0],
-            k_pages, v_pages, pos[:, 0], tables,
-            sm_scale=1.0 / (hd ** 0.5),
-            sliding_window=cfg.sliding_window,
-        )
-        attn_out = o[:, None]                     # [B, 1, H, hd]
+        if S == 1:
+            # paged decode: ONE fused kernel appends the token into its
+            # page in place (aliased pool) and attends over the sequence's
+            # valid pages — no scatter, ≈length HBM traffic per step
+            from qlora_tpu.ops.paged_attention import (
+                fused_paged_decode_attention,
+            )
+
+            o, k_pages, v_pages = fused_paged_decode_attention(
+                q[:, 0].astype(jnp.bfloat16), k[:, 0], v[:, 0],
+                k_pages, v_pages, pos[:, 0], tables,
+                sm_scale=1.0 / (hd ** 0.5),
+                sliding_window=cfg.sliding_window,
+            )
+            attn_out = o[:, None]                 # [B, 1, H, hd]
+        else:
+            # speculative verify chunk: S = draft_len+1 tokens appended at
+            # positions pos[:, 0].. and attended with in-chunk causality —
+            # the PagedBatcher speculation path (generate/paged.py)
+            from qlora_tpu.ops.paged_attention import (
+                fused_paged_chunk_attention,
+            )
+
+            o, k_pages, v_pages = fused_paged_chunk_attention(
+                q.astype(jnp.bfloat16), k, v,
+                k_pages, v_pages, pos[:, 0], tables,
+                sm_scale=1.0 / (hd ** 0.5),
+                sliding_window=cfg.sliding_window,
+            )
+            attn_out = o                          # [B, S, H, hd]
         new_cache = (k_pages, v_pages, tables)
     elif cache_kv is not None:
         k_buf, v_buf = cache_kv                   # [B, KVH, T, hd]
@@ -224,6 +247,9 @@ def _attn(cfg, block, lora, lcfg, x, cos, sin, mask, cache_kv, pos, rng,
         new_cache = None
 
     attn_out = attn_out.reshape(B, S, -1)  # [B, S, H_local * hd]
+    # named residual: the S×S attention dots (flash pallas kernel) are the
+    # other MXU-heavy output the save_linear remat policy keeps
+    attn_out = checkpoint_name(attn_out, "attn_out")
     if mega:
         from qlora_tpu.models.layers import _psum_fwd_ident_bwd
 
@@ -295,6 +321,29 @@ def block_forward(cfg, lcfg, x, block, lora, cos, sin, mask, cache_kv, pos, rng,
 # ---------------------------------------------------------------------------
 
 
+def _remat_wrap(body, remat):
+    """Per-layer gradient checkpointing (reference default: qlora.py:206).
+
+    remat=True/"full": save only layer boundaries — the backward pass
+    re-runs each block's ENTIRE forward, including every NF4 dequant-
+    matmul pallas kernel (minimum memory, the reference's behavior).
+
+    remat="save_linear": save the named MXU-heavy outputs too
+    ("linear_out" per block linear, "attn_out" per attention) so the
+    re-forward recomputes only elementwise work (norms, rope, SwiGLU,
+    residuals) — ~92 MB/layer extra residency at the 7B bench shape
+    (B=2, S=512) for ~the remat re-forward's matmul share of step time.
+    LoRA training leaves that HBM headroom at 7B; full finetuning and
+    long-context shapes should keep "full"."""
+    if not remat:
+        return body
+    if remat == "save_linear":
+        policy = jax.checkpoint_policies.save_only_these_names(
+            "linear_out", "attn_out")
+        return jax.checkpoint(body, policy=policy)
+    return jax.checkpoint(body)
+
+
 def forward(
     params: dict,
     lora: Optional[dict],
@@ -306,7 +355,7 @@ def forward(
     attn_mask: Optional[jax.Array] = None,   # [B, S] 1=real (right padding)
     cache: Optional[dict] = None,            # {"k","v": [L,B,T,KVH,hd], "length": [B]}
     rng: Optional[jax.Array] = None,
-    remat: bool = False,
+    remat: "bool | str" = False,   # False | True/"full" | "save_linear"
     use_flash: str = "auto",   # "auto" | "never" | "always"
     return_hidden: bool = False,
     sp_axis: Optional[str] = None,   # sequence-parallel shard_map axis
@@ -407,7 +456,7 @@ def forward(
             new_cache = new_cache[:2]
         return xo, new_cache
 
-    body = jax.checkpoint(scan_body) if remat else scan_body
+    body = _remat_wrap(scan_body, remat)
 
     if paged:
         cache_in = (cache["k_pages"], cache["v_pages"])
@@ -478,7 +527,7 @@ def forward(
             xo, _ = blk(x, block, lora_l, cos, sin, mask, None, positions, rng_l,
                         flash_lengths, sp_axis)
             return xo, None
-        body_nc = jax.checkpoint(body_nc) if remat else body_nc
+        body_nc = _remat_wrap(body_nc, remat)
         x, _ = jax.lax.scan(body_nc, x, (params["blocks"], lora, layer_rngs))
         new_cache = None
 

@@ -85,8 +85,13 @@ def _kernel(
     # Mosaic forbids slicing the sublane-tiled T axis to size 1 (bf16 tile
     # (8,128)), so the append is a read-modify-write of the ALIGNED 8-token
     # window holding position `length`; the read starts at c == 0 and its
-    # latency hides behind the chunk-compute loop
-    aligned = pl.multiple_of((length // 8) * 8, 8)
+    # latency hides behind the chunk-compute loop.  PRECONDITION:
+    # length < T (see the host wrapper) — the window start is clamped so a
+    # capacity-boundary caller rewrites the last in-bounds window instead
+    # of reading past the cache
+    T_cache = ko_ref.shape[2]
+    aligned = pl.multiple_of(
+        jnp.minimum((length // 8) * 8, T_cache - 8), 8)
 
     @pl.when(c == 0)
     def _init():
@@ -212,6 +217,12 @@ def fused_decode_attention(
     sliding_window: int | None = None,
 ):
     """Returns (out [B, H, hd], k_cache, v_cache) — caches updated in place.
+
+    PRECONDITION: ``lengths[b] < T`` for every row — the new token is
+    written at position ``lengths[b]``.  Callers guard this (decode loops
+    stop at cap-1); the kernel clamps the append window so a violating
+    call overwrites the row's own last window rather than reading out of
+    bounds.
 
     Falls back to a jnp path when shapes are pallas-hostile (T not a
     multiple of 128, head_dim not lane-aligned).

@@ -144,8 +144,10 @@ def _kernel(
     # append = read-modify-write of the aligned 8-token window holding
     # position `length` in its page (Mosaic forbids size-1 slices of the
     # sublane-tiled page axis); read starts now, latency hides behind the
-    # attention compute below
-    wp = tables_ref[b, length // page]
+    # attention compute below.  PRECONDITION: length < pps*page (see the
+    # host wrapper) — the table index is clamped so a capacity-boundary
+    # caller corrupts its own last page instead of a foreign sequence's
+    wp = tables_ref[b, jnp.minimum(length // page, pps - 1)]
     woff = length % page
     al = pl.multiple_of((woff // 8) * 8, 8)
     pltpu.make_async_copy(
@@ -188,7 +190,12 @@ def _kernel(
     # finish the append: select the new token into its sublane and write
     # the aligned window back in place (aliased pool outputs).  The page is
     # exclusively owned by this sequence (allocator/COW invariant), so no
-    # other cell's DMA can race this write
+    # other cell's DMA can race this write.  The one shared page is the
+    # reserved scratch page 0 (inactive slots, evicted sliding-window
+    # entries): an append there CAN overlap a later cell's prefetch read
+    # of a page-0 placeholder, which is harmless only because page-0 data
+    # is never unmasked and stays finite (both appends write finite
+    # values; the masked softmax multiplies them by exact zeros)
     pltpu.make_async_copy(
         kp_ref.at[wp, :, pl.ds(al, 8), :], tok_k, asem.at[0]).wait()
     pltpu.make_async_copy(
@@ -219,7 +226,14 @@ def fused_paged_decode_attention(
     sm_scale: float = 1.0,
     sliding_window: int | None = None,
 ):
-    """Returns (out [B, H, D], k_pages, v_pages) — pools updated in place."""
+    """Returns (out [B, H, D], k_pages, v_pages) — pools updated in place.
+
+    PRECONDITION: ``lengths[b] < pages_per_seq * page`` for every row —
+    the new token is written at logical position ``lengths[b]``, which
+    must lie inside the table.  Both batchers guard this (retire at
+    cap-1, extend before step); the kernel clamps the append-window table
+    index so a violating call corrupts the sequence's own last page
+    rather than a foreign one, and the jnp fallback clips likewise."""
     B, H, D = q.shape
     n_pages, KVH, page, _ = k_pages.shape
     pps = page_indices.shape[1]
@@ -277,6 +291,315 @@ def fused_paged_decode_attention(
         interpret=_use_interpret(),
     )(lengths, page_indices, qg, nk, nv, k_pages, v_pages)
     return out.reshape(B, H, D), k_pages, v_pages
+
+
+def _chunk_kernel(
+    # scalar prefetch
+    lengths_ref,                        # [B]
+    tables_ref,                         # [B, pps]
+    # inputs
+    q_ref,                              # [1, KVH, C*G, D]
+    nk_ref,                             # [1, C, KVH, D]
+    nv_ref,
+    kp_ref,                             # [np, KVH, page, D] ANY
+    vp_ref,
+    # outputs
+    o_ref,                              # [1, KVH, C*G, D]
+    ko_ref,                             # ANY — aliased pool
+    vo_ref,
+    # scratch
+    kbuf,                               # [2, KVH, T, D]
+    vbuf,
+    tok_k,                              # [KVH, 8, D] — append window RMW
+    tok_v,
+    sems,                               # DMA (2, 2)
+    asem,                               # DMA (4,)
+    *,
+    page: int,
+    pps: int,
+    c_len: int,
+    sm_scale: float,
+    sliding_window,
+):
+    """Chunk-verify attention: C new tokens per sequence in one pass.
+
+    Query at chunk index c (global position length+c) attends pool keys
+    0..length-1 plus chunk keys 0..c (causal within the chunk, including
+    itself).  This is the speculative-decoding verify step: the pool holds
+    the verified prefix, the chunk holds [pending, drafts]."""
+    b = pl.program_id(0)
+    B = pl.num_programs(0)
+    T = page * pps
+    KVH = q_ref.shape[1]
+    D = q_ref.shape[3]
+    C = c_len
+    G = q_ref.shape[2] // C
+
+    def n_valid_pages(bb):
+        return pl.cdiv(lengths_ref[bb], page)
+
+    def start(bb, slot):
+        npg = n_valid_pages(bb)
+        for i in range(pps):
+            @pl.when(i < npg)
+            def _():
+                pidx = tables_ref[bb, i]
+                pltpu.make_async_copy(
+                    kp_ref.at[pidx],
+                    kbuf.at[slot, :, pl.ds(i * page, page), :],
+                    sems.at[slot, 0],
+                ).start()
+                pltpu.make_async_copy(
+                    vp_ref.at[pidx],
+                    vbuf.at[slot, :, pl.ds(i * page, page), :],
+                    sems.at[slot, 1],
+                ).start()
+
+    def wait(bb, slot):
+        npg = n_valid_pages(bb)
+        for i in range(pps):
+            @pl.when(i < npg)
+            def _():
+                pltpu.make_async_copy(
+                    kp_ref.at[0], kbuf.at[slot, :, pl.ds(0, page), :],
+                    sems.at[slot, 0],
+                ).wait()
+                pltpu.make_async_copy(
+                    vp_ref.at[0], vbuf.at[slot, :, pl.ds(0, page), :],
+                    sems.at[slot, 1],
+                ).wait()
+            @pl.when(i >= npg)
+            def _():
+                vbuf[slot, :, i * page : (i + 1) * page, :] = jnp.zeros(
+                    (KVH, page, D), vbuf.dtype
+                )
+
+    slot = b % 2
+    @pl.when(b == 0)
+    def _warmup():
+        start(0, 0)
+
+    @pl.when(b + 1 < B)
+    def _prefetch_next():
+        start(b + 1, (b + 1) % 2)
+
+    length = lengths_ref[b]
+    wait(b, slot)
+
+    for h in range(KVH):
+        qh = q_ref[0, h]                                  # [C*G, D] bf16
+        kh = kbuf[slot, h]                                # [T, D]
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale                                      # [C*G, T]
+        row_c = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) // G
+        pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        valid = pos < length
+        if sliding_window is not None:
+            # query c sits at global position length + c
+            valid &= pos > length + row_c - sliding_window
+        s = jnp.where(valid, s, MASK)
+
+        nk = nk_ref[0, :, h, :].astype(jnp.bfloat16)      # [C, D]
+        nv = nv_ref[0, :, h, :].astype(jnp.float32)
+        sc = jax.lax.dot_general(
+            qh, nk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale                                      # [C*G, C]
+        rc = jax.lax.broadcasted_iota(jnp.int32, sc.shape, 0) // G
+        cc = jax.lax.broadcasted_iota(jnp.int32, sc.shape, 1)
+        cvalid = cc <= rc
+        if sliding_window is not None:
+            cvalid &= (rc - cc) < sliding_window
+        sc = jnp.where(cvalid, sc, MASK)
+
+        m = jnp.maximum(jnp.max(s, axis=1, keepdims=True),
+                        jnp.max(sc, axis=1, keepdims=True))  # [C*G, 1]
+        p = jnp.exp(s - m)
+        p = jnp.where(valid, p, 0.0)      # masked exp(MASK-m) underflows to
+        pc = jnp.exp(sc - m)              # 0 anyway; exact zeros are free
+        pc = jnp.where(cvalid, pc, 0.0)
+        l = (jnp.sum(p, axis=1, keepdims=True)
+             + jnp.sum(pc, axis=1, keepdims=True))
+        num = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), vbuf[slot, h],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            pc.astype(jnp.float32), nv,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )                                                 # [C*G, D]
+        o_ref[0, h] = (num / jnp.where(l == 0.0, 1.0, l)).astype(o_ref.dtype)
+
+    # append the C chunk tokens at positions length..length+C-1: RMW of the
+    # consecutive aligned 8-token windows covering them.  Each window lies
+    # in ONE page (8 | page); at most (C+14)//8 windows.  Pages are
+    # exclusively owned by this sequence except reserved scratch page 0
+    # (masked + finite-only invariant, see the decode kernel)
+    woff = length % page
+    al = (woff // 8) * 8
+    n_win = (C + 14) // 8
+    for w in range(n_win):
+        gws = length - woff + al + 8 * w   # global window start (8-aligned)
+
+        @pl.when(gws <= length + C - 1)
+        def _():
+            pg = jnp.minimum(gws // page, pps - 1)
+            wp = tables_ref[b, pg]
+            off = pl.multiple_of(gws % page, 8)
+            kc_r = pltpu.make_async_copy(
+                kp_ref.at[wp, :, pl.ds(off, 8), :], tok_k, asem.at[0])
+            vc_r = pltpu.make_async_copy(
+                vp_ref.at[wp, :, pl.ds(off, 8), :], tok_v, asem.at[1])
+            kc_r.start()
+            vc_r.start()
+            kc_r.wait()
+            vc_r.wait()
+            j = jax.lax.broadcasted_iota(jnp.int32, (KVH, 8, D), 1)
+            for i in range(C):
+                hit = j == (length + i - gws)
+                tok_k[...] = jnp.where(
+                    hit, nk_ref[0, i][:, None, :].astype(tok_k.dtype),
+                    tok_k[...])
+                tok_v[...] = jnp.where(
+                    hit, nv_ref[0, i][:, None, :].astype(tok_v.dtype),
+                    tok_v[...])
+            kc_w = pltpu.make_async_copy(
+                tok_k, ko_ref.at[wp, :, pl.ds(off, 8), :], asem.at[2])
+            vc_w = pltpu.make_async_copy(
+                tok_v, vo_ref.at[wp, :, pl.ds(off, 8), :], asem.at[3])
+            kc_w.start()
+            vc_w.start()
+            kc_w.wait()
+            vc_w.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "sliding_window"))
+def fused_paged_chunk_attention(
+    q: jax.Array,              # [B, C, H, D]
+    new_k: jax.Array,          # [B, C, KVH, D]
+    new_v: jax.Array,          # [B, C, KVH, D]
+    k_pages: jax.Array,        # [np, KVH, page, D] — updated in place
+    v_pages: jax.Array,
+    lengths: jax.Array,        # [B] int32 — verified prefix length
+    page_indices: jax.Array,   # [B, pages_per_seq]
+    *,
+    sm_scale: float = 1.0,
+    sliding_window: int | None = None,
+):
+    """Speculative verify chunk over the paged pool.
+
+    Query at chunk index c attends pool positions 0..lengths[b]-1 plus
+    chunk positions 0..c; the chunk's KV is appended at positions
+    lengths[b]..lengths[b]+C-1 in place.  Returns
+    (out [B, C, H, D], k_pages, v_pages).
+
+    PRECONDITION: ``lengths[b] + C <= pages_per_seq * page`` — callers
+    must extend the page table before the chunk (PagedBatcher does).
+    The kernel clamps table indices so a violating call corrupts the
+    sequence's own last page rather than a foreign one."""
+    B, C, H, D = q.shape
+    n_pages, KVH, page, _ = k_pages.shape
+    pps = page_indices.shape[1]
+    T = page * pps
+    G = H // KVH
+
+    buf_bytes = 2 * KVH * T * D * 2 * k_pages.dtype.itemsize
+    if (D % 64 != 0 or page % 8 != 0 or buf_bytes > _MAX_BUF_BYTES
+            or C > page):
+        return _paged_chunk_jnp(
+            q, new_k, new_v, k_pages, v_pages, lengths, page_indices,
+            sm_scale=sm_scale, sliding_window=sliding_window)
+
+    # rows grouped [C, G] per kv head: q [B,C,H,D] → [B, KVH, C*G, D]
+    qg = jnp.transpose(q.reshape(B, C, KVH, G, D), (0, 2, 1, 3, 4)
+                       ).reshape(B, KVH, C * G, D).astype(jnp.bfloat16)
+    nk = new_k.astype(k_pages.dtype)
+    nv = new_v.astype(v_pages.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, KVH, C * G, D), lambda b, lens, tabs: (b, 0, 0, 0)),
+            pl.BlockSpec((1, C, KVH, D), lambda b, lens, tabs: (b, 0, 0, 0)),
+            pl.BlockSpec((1, C, KVH, D), lambda b, lens, tabs: (b, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, KVH, C * G, D), lambda b, lens, tabs: (b, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, KVH, T, D), k_pages.dtype),
+            pltpu.VMEM((2, KVH, T, D), v_pages.dtype),
+            pltpu.VMEM((KVH, 8, D), k_pages.dtype),
+            pltpu.VMEM((KVH, 8, D), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    out, k_pages, v_pages = pl.pallas_call(
+        functools.partial(
+            _chunk_kernel, page=page, pps=pps, c_len=C, sm_scale=sm_scale,
+            sliding_window=sliding_window,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, KVH, C * G, D), q.dtype),
+            jax.ShapeDtypeStruct(k_pages.shape, k_pages.dtype),
+            jax.ShapeDtypeStruct(v_pages.shape, v_pages.dtype),
+        ],
+        input_output_aliases={5: 1, 6: 2},
+        interpret=_use_interpret(),
+    )(lengths, page_indices, qg, nk, nv, k_pages, v_pages)
+    out = jnp.transpose(out.reshape(B, KVH, C, G, D), (0, 2, 1, 3, 4)
+                        ).reshape(B, C, H, D)
+    return out, k_pages, v_pages
+
+
+def _paged_chunk_jnp(q, new_k, new_v, k_pages, v_pages, lengths,
+                     page_indices, *, sm_scale, sliding_window):
+    """jnp oracle / fallback for the chunk-verify kernel: scatter-append
+    the C tokens, gather pages, masked softmax with in-chunk causality."""
+    B, C, H, D = q.shape
+    n_pages, KVH, page, _ = k_pages.shape
+    pps = page_indices.shape[1]
+    T = page * pps
+    G = H // KVH
+
+    # append tokens at positions lengths..lengths+C-1
+    for i in range(C):
+        pos_i = lengths + i
+        wp = jnp.take_along_axis(
+            page_indices, jnp.minimum(pos_i // page, pps - 1)[:, None],
+            axis=1)[:, 0]
+        off = pos_i % page
+        k_pages = k_pages.at[wp, :, off].set(
+            new_k[:, i].astype(k_pages.dtype))
+        v_pages = v_pages.at[wp, :, off].set(
+            new_v[:, i].astype(v_pages.dtype))
+
+    k = k_pages[page_indices]                 # [B, pps, KVH, page, D]
+    v = v_pages[page_indices]
+    k = jnp.transpose(k, (0, 2, 1, 3, 4)).reshape(B, KVH, T, D)
+    v = jnp.transpose(v, (0, 2, 1, 3, 4)).reshape(B, KVH, T, D)
+    qg = jnp.transpose(q.reshape(B, C, KVH, G, D), (0, 2, 1, 3, 4))
+    qg = qg.astype(jnp.float32) * sm_scale    # [B, KVH, C, G, D]
+    s = jnp.einsum("bkcgd,bktd->bkcgt", qg, k.astype(jnp.float32))
+    pos = jnp.arange(T)[None, None, None, None, :]
+    qpos = (lengths[:, None, None, None, None]
+            + jnp.arange(C)[None, None, :, None, None])
+    valid = pos <= qpos
+    if sliding_window is not None:
+        valid &= pos > qpos - sliding_window
+    s = jnp.where(valid, s, MASK)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bkcgt,bktd->bkcgd", p, v.astype(jnp.float32))
+    o = jnp.transpose(o, (0, 2, 1, 3, 4)).reshape(B, C, H, D)
+    return o.astype(q.dtype), k_pages, v_pages
 
 
 def _paged_decode_jnp(q, new_k, new_v, k_pages, v_pages, lengths,

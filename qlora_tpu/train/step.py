@@ -30,7 +30,8 @@ class TrainState:
     opt_state: Any
 
 
-def loss_fn(trainable, frozen, batch, cfg, lcfg, rng, train, mode="lora"):
+def loss_fn(trainable, frozen, batch, cfg, lcfg, rng, train, mode="lora",
+            remat="full"):
     if mode == "lora":
         params, lora = frozen, trainable
     else:  # full finetune (qlora.py:157-160): the whole model is trainable
@@ -38,7 +39,7 @@ def loss_fn(trainable, frozen, batch, cfg, lcfg, rng, train, mode="lora"):
     logits, _ = forward(
         params, lora, batch["input_ids"], cfg, lcfg,
         attn_mask=batch.get("attention_mask"),
-        rng=rng, remat=train,
+        rng=rng, remat=remat if train else False,
     )
     # next-token alignment: logits[:, t] predicts labels[:, t+1]
     loss, n = masked_cross_entropy(logits[:, :-1], batch["labels"][:, 1:])
@@ -52,18 +53,29 @@ def make_train_step(
     accum_steps: int = 1,
     donate: bool = True,
     mode: str = "lora",
+    remat: "str | bool" = "save_linear",
 ):
     """Returns train_step(state, frozen_params, batch, rng) -> (state, metrics).
 
     batch leaves are [accum_steps, micro_bs, S] when accum_steps > 1, else
     [bs, S].  Gradients are averaged over microbatches inside one jit.
     In mode="full" the frozen_params argument is ignored.
+
+    remat: gradient-checkpoint policy (see transformer._remat_wrap) —
+    "save_linear" (default for LoRA: keeps the pallas matmul outputs,
+    recomputes only elementwise; measured 0.329 → 0.276 s/step at the 7B
+    bench shape on v5e, benchmarks/remat_ablation.py) or "full"
+    (reference semantics, minimum memory; forced for mode="full" where
+    the saved outputs would crowd the full-precision grads).
     """
+    if mode == "full" and remat == "save_linear":
+        remat = "full"
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def one_micro(trainable, frozen, mb, rng):
-        (loss, n), grads = grad_fn(trainable, frozen, mb, cfg, lcfg, rng, True, mode)
+        (loss, n), grads = grad_fn(trainable, frozen, mb, cfg, lcfg, rng,
+                                   True, mode, remat)
         return loss, n, grads
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())

@@ -149,3 +149,94 @@ def test_decode_loop_consistency():
         np.testing.assert_allclose(
             np.asarray(o, np.float32),
             np.asarray(ref.reshape(B, H, D), np.float32), atol=3e-2)
+
+
+# ---------------------------------------------------------------------------
+# chunk-verify kernel (speculative decoding over the paged pool)
+# ---------------------------------------------------------------------------
+
+
+def _setup_chunk(B=3, C=4, H=4, KVH=2, D=128, page=16, pages_per_seq=4,
+                 n_pages=32, key=0, lengths=None):
+    ks = jax.random.split(jax.random.PRNGKey(key), 6)
+    q = jax.random.normal(ks[0], (B, C, H, D)).astype(jnp.bfloat16)
+    nk = jax.random.normal(ks[4], (B, C, KVH, D)).astype(jnp.bfloat16)
+    nv = jax.random.normal(ks[5], (B, C, KVH, D)).astype(jnp.bfloat16)
+    k_pages = jax.random.normal(ks[1], (n_pages, KVH, page, D)).astype(
+        jnp.bfloat16)
+    v_pages = jax.random.normal(ks[2], (n_pages, KVH, page, D)).astype(
+        jnp.bfloat16)
+    perm = jax.random.permutation(ks[3], n_pages - 1)[: B * pages_per_seq] + 1
+    page_indices = perm.reshape(B, pages_per_seq).astype(jnp.int32)
+    if lengths is None:
+        # capacity boundary (length + C == T), mid-page straddle, empty
+        lengths = [page * pages_per_seq - C, 15, 0]
+    lengths = jnp.asarray(lengths, jnp.int32)[:B]
+    return q, nk, nv, k_pages, v_pages, lengths, page_indices
+
+
+def _check_chunk(args, sm, window=None):
+    from qlora_tpu.ops.paged_attention import (
+        _paged_chunk_jnp, fused_paged_chunk_attention,
+    )
+
+    q, nk, nv, kp, vp, lengths, pidx = args
+    got, kg, vg = fused_paged_chunk_attention(
+        q, nk, nv, kp, vp, lengths, pidx, sm_scale=sm, sliding_window=window)
+    want, kw, vw = _paged_chunk_jnp(
+        q, nk, nv, kp, vp, lengths, pidx, sm_scale=sm, sliding_window=window)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=3e-2, rtol=3e-2)
+    np.testing.assert_array_equal(np.asarray(kg), np.asarray(kw))
+    np.testing.assert_array_equal(np.asarray(vg), np.asarray(vw))
+
+
+def test_chunk_matches_oracle():
+    args = _setup_chunk()
+    _check_chunk(args, 1.0 / np.sqrt(args[0].shape[-1]))
+
+
+def test_chunk_page_straddle():
+    # C=8 tokens starting 3 before a page boundary: append spans two pages
+    args = _setup_chunk(C=8, lengths=[13, 29, 47])
+    _check_chunk(args, 0.125)
+
+
+def test_chunk_sliding_window():
+    args = _setup_chunk(C=4, lengths=[40, 22, 9])
+    _check_chunk(args, 0.2, window=24)
+
+
+def test_chunk_c1_matches_decode_kernel():
+    # C=1 chunk == the single-token decode kernel up to accumulation order
+    from qlora_tpu.ops.paged_attention import fused_paged_chunk_attention
+
+    q, nk, nv, kp, vp, lengths, pidx = _setup(lengths=[30, 17, 5])
+    got_c, kc_, vc_ = fused_paged_chunk_attention(
+        q[:, None], nk[:, None], nv[:, None], kp, vp, lengths, pidx,
+        sm_scale=0.2)
+    got_d, kd, vd = fused_paged_decode_attention(
+        q, nk, nv, kp, vp, lengths, pidx, sm_scale=0.2)
+    np.testing.assert_allclose(
+        np.asarray(got_c[:, 0], np.float32), np.asarray(got_d, np.float32),
+        atol=3e-2, rtol=3e-2)
+    np.testing.assert_array_equal(np.asarray(kc_), np.asarray(kd))
+    np.testing.assert_array_equal(np.asarray(vc_), np.asarray(vd))
+
+
+def test_chunk_in_chunk_causality():
+    """A draft token must not see later drafts: compare row c of a C-chunk
+    against a (c+1)-prefix chunk — identical outputs row by row."""
+    from qlora_tpu.ops.paged_attention import _paged_chunk_jnp
+
+    q, nk, nv, kp, vp, lengths, pidx = _setup_chunk(B=1, C=4, lengths=[21])
+    full, _, _ = _paged_chunk_jnp(
+        q, nk, nv, kp, vp, lengths, pidx, sm_scale=0.2, sliding_window=None)
+    for c in range(4):
+        pre, _, _ = _paged_chunk_jnp(
+            q[:, : c + 1], nk[:, : c + 1], nv[:, : c + 1], kp, vp,
+            lengths, pidx, sm_scale=0.2, sliding_window=None)
+        np.testing.assert_allclose(
+            np.asarray(full[:, c], np.float32),
+            np.asarray(pre[:, c], np.float32), atol=1e-5, rtol=1e-5)
