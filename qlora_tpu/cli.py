@@ -103,6 +103,10 @@ class Args:
     # TPU-native extension: route the predict token loop through the
     # offline int8 serving copy (greedy/sampled only; prefill stays exact)
     predict_decode_impl: Optional[str] = None
+    # prompt-lookup speculative decoding for do_predict: draft length k
+    # (0 = off).  Output-identical to the plain path (greedy-exact /
+    # rejection-sampled); composes with predict_decode_impl="int8".
+    predict_speculative: int = 0
     # reference-compat flags accepted for script parity (some are no-ops on
     # TPU — the trainer always runs bf16 compute, single in-process host)
     cache_dir: Optional[str] = None
@@ -907,6 +911,13 @@ def _run_predict(args, params, state, cfg, lcfg, tokenizer, collator, mode):
         )
 
         decode_params = requantize_params_int8_unstacked(base)
+    spec_k = int(args.predict_speculative or 0)
+    if spec_k > 0:
+        if args.num_beams > 1 or args.penalty_alpha or args.min_new_tokens:
+            raise ValueError(
+                "--predict_speculative composes with greedy/sampled "
+                "decoding only (not beams/contrastive/min_new_tokens)")
+        from qlora_tpu.generate.speculative import generate_speculative
     bs = max(args.per_device_eval_batch_size, 1)
     out_path = os.path.join(args.output_dir, "predictions.jsonl")
     with open(out_path, "w") as f:
@@ -914,20 +925,33 @@ def _run_predict(args, params, state, cfg, lcfg, tokenizer, collator, mode):
             b = collator(chunk)
             ids = jnp.asarray(b["input_ids"])
             lengths = jnp.asarray(b["attention_mask"].sum(-1))
-            toks = generate(
-                base, lora, ids, lengths, cfg, lcfg,
-                max_new_tokens=args.max_new_tokens,
-                min_new_tokens=args.min_new_tokens or 0,
-                num_beams=args.num_beams,
-                length_penalty=args.length_penalty,
-                num_beam_groups=args.num_beam_groups,
-                diversity_penalty=args.diversity_penalty,
-                penalty_alpha=args.penalty_alpha,
-                eos_id=tokenizer.eos_token_id, sparams=sp,
-                rng=jax.random.PRNGKey(args.seed),
-                decode_impl=args.predict_decode_impl,
-                decode_params=decode_params,
-            )
+            if spec_k > 0:
+                # batched prompt-lookup speculation: identical outputs to
+                # the plain path (greedy-exact / rejection-sampled), up to
+                # draft_len+1 tokens per weight pass
+                toks = generate_speculative(
+                    base, lora, ids, lengths, cfg, lcfg,
+                    max_new_tokens=args.max_new_tokens,
+                    eos_id=tokenizer.eos_token_id, draft_len=spec_k,
+                    decode_impl=args.predict_decode_impl,
+                    decode_params=decode_params,
+                    sparams=sp, rng=jax.random.PRNGKey(args.seed),
+                )
+            else:
+                toks = generate(
+                    base, lora, ids, lengths, cfg, lcfg,
+                    max_new_tokens=args.max_new_tokens,
+                    min_new_tokens=args.min_new_tokens or 0,
+                    num_beams=args.num_beams,
+                    length_penalty=args.length_penalty,
+                    num_beam_groups=args.num_beam_groups,
+                    diversity_penalty=args.diversity_penalty,
+                    penalty_alpha=args.penalty_alpha,
+                    eos_id=tokenizer.eos_token_id, sparams=sp,
+                    rng=jax.random.PRNGKey(args.seed),
+                    decode_impl=args.predict_decode_impl,
+                    decode_params=decode_params,
+                )
             for ex, row in zip(chunk[:n_real], np.asarray(toks)[:n_real]):
                 text = tokenizer.decode(
                     [t for t in row.tolist() if t != tokenizer.eos_token_id]

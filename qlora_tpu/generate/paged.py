@@ -155,7 +155,8 @@ class PagedBatcher:
                  prefill_buckets=(128, 256, 512), eos_id=2, sparams=None,
                  seed=0, decode_impl=None, prefill_impl=None,
                  rolling_eviction=True, tp_mesh=None,
-                 steps_per_dispatch=1, admit_batch=1):
+                 steps_per_dispatch=1, admit_batch=1,
+                 spec_draft_len=0, spec_ngram=2):
         # num_slots defaults to 128: the decode matmul's M dim equals the
         # slot count, and the fused NF4 kernel's MXU cost at M=16 equals
         # M=128 (row padding) — batching to M≈128 is ~free throughput ×8
@@ -205,6 +206,39 @@ class PagedBatcher:
         # steps_per_dispatch does for decode.  Singleton admissions keep
         # the [1, bucket] program, so trickle traffic pays no padding.
         self.admit_batch = max(int(admit_batch), 1)
+        # speculative serving: each "decode step" becomes a VERIFY CHUNK of
+        # spec_draft_len prompt-lookup drafts + the pending token, retiring
+        # 1..spec_draft_len+1 tokens per weight pass (the round-4 B=1 win,
+        # composed with continuous batching).  Drafting runs IN-GRAPH over a
+        # per-slot context buffer, so steps_per_dispatch chunks run inside
+        # one dispatch; acceptance is greedy-exact (default sparams) or
+        # rejection-sampled (do_sample), both schedule-invariant — the
+        # OUTPUT never depends on draft quality, only tokens/chunk does.
+        self.spec_draft_len = int(spec_draft_len)
+        self.spec_ngram = int(spec_ngram)
+        self._spec_jit = None
+        if self.spec_draft_len > 0:
+            if tp_mesh is not None:
+                raise NotImplementedError(
+                    "spec_draft_len > 0 is single-chip serving for now; tp "
+                    "serving decodes per-token (the verify-chunk shard_map "
+                    "forward is not wired)")
+            sp = sparams
+            if sp is not None and sp.do_sample and (
+                    sp.repetition_penalty != 1.0
+                    or sp.no_repeat_ngram_size > 0):
+                raise NotImplementedError(
+                    "repetition_penalty / no_repeat_ngram_size do not "
+                    "compose with speculation (in-chunk history "
+                    "dependence); drop them or spec_draft_len=0")
+            cap = page_size * max_pages_per_seq
+            self._ctx_cap = cap
+            self.ctx_host = np.zeros((num_slots, cap), np.int32)
+            self.cur_host = np.zeros((num_slots,), np.int32)
+            # acceptance telemetry: tokens emitted / per-slot verify chunks
+            # (spec_tokens / spec_chunks = mean tokens retired per chunk)
+            self.spec_tokens = 0
+            self.spec_chunks = 0
         self.tp_mesh = tp_mesh
         self._tp_prefill_fn = self._tp_decode_fn = None
         if tp_mesh is not None:
@@ -275,6 +309,8 @@ class PagedBatcher:
             self._dec_lora = unstack_lora(lora, cfg.num_layers)
             self._decode_jit = self._make_decode_jit()
             self._prefill_jit = self._make_prefill_jit()
+            if self.spec_draft_len > 0:
+                self._spec_jit = self._make_spec_jit()
             # jax.jit is lazy: the [admit_batch, bucket] program only
             # compiles if a multi-admission wave actually occurs
             self._prefill_group_jit = self._make_prefill_group_jit()
@@ -331,6 +367,163 @@ class PagedBatcher:
 
         self._decode_burst = decode_burst
         return decode
+
+    def _make_spec_jit(self):
+        """Speculative burst: steps_per_dispatch verify chunks in ONE
+        dispatch.  Each chunk drafts spec_draft_len tokens in-graph
+        (prompt-lookup over the per-slot context buffer), verifies them in
+        one [slots, k+1] forward through the fused paged CHUNK kernel
+        (ops.paged_attention.fused_paged_chunk_attention), and rolls each
+        slot's cache back to its verified prefix — per-slot acceptance,
+        per-slot rollback.  Inactive slots ride along into scratch page 0
+        exactly like the plain decode step."""
+        import contextlib
+        import functools
+
+        from qlora_tpu.models.transformer import forward
+        from qlora_tpu.ops.qmatmul import default_impl
+
+        from qlora_tpu.generate.speculative import (
+            _target_probs, accept_and_resample,
+        )
+
+        k = self.spec_draft_len
+        C = k + 1
+        N = self.steps_per_dispatch
+        ngram = self.spec_ngram
+        cap = self._ctx_cap
+        S = self.num_slots
+        sparams = self.sparams
+        sampled = sparams is not None and sparams.do_sample
+        rows = jnp.arange(S)
+        span = jnp.arange(cap - ngram + 1)
+
+        def draft(ctx, cur):
+            """Latest earlier occurrence of the trailing ngram → next k
+            tokens (same matcher as speculative._spec_loop)."""
+            match = jnp.ones((S, cap - ngram + 1), bool)
+            for g in range(ngram):
+                last_g = ctx[rows, cur - ngram + g]              # [S]
+                match &= ctx[:, g:cap - ngram + 1 + g] == last_g[:, None]
+            match &= span[None, :] < (cur - ngram)[:, None]
+            best = jnp.max(jnp.where(match, span[None, :], -1), axis=1)
+            start = jnp.clip(best + ngram, 0, cap - k)
+            return jax.vmap(
+                lambda c, s: jax.lax.dynamic_slice(c, (s,), (k,))
+            )(ctx, start)
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def spec_burst(dec_params, lora, cache, ctx, cur, rng):
+            """ctx [S, cap] (row valid through cur[s]); cur = prompt +
+            emitted tokens (the last one pending, its KV unwritten).
+            Returns (out [S, N*C], tot [S], cache): out[s, :tot[s]] are the
+            newly emitted tokens."""
+            ctx_impl = (default_impl("w8a8") if self.decode_impl
+                        else contextlib.nullcontext())
+            out0 = jnp.zeros((S, N * C), jnp.int32)
+            idx = jnp.arange(C)
+
+            with ctx_impl:
+                def body(carry, i):
+                    cache, ctx, cur, out, tot = carry
+                    pending = ctx[rows, cur - 1][:, None]        # [S, 1]
+                    drafts = draft(ctx, cur)                     # [S, k]
+                    inp = jnp.concatenate([pending, drafts], axis=1)
+                    cache = dict(cache, length=cur - 1)
+                    logits, cache = forward(dec_params, lora, inp,
+                                            self.cfg, self.lcfg,
+                                            cache=cache)
+                    if sampled:
+                        probs = _target_probs(
+                            logits.reshape(S * C, -1), sparams
+                        ).reshape(S, C, -1)
+                        toks, n_acc = accept_and_resample(
+                            jax.random.fold_in(rng, i), probs, drafts)
+                    else:
+                        toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                        acc = jnp.cumprod(drafts == toks[:, :-1], axis=1)
+                        n_acc = 1 + jnp.sum(acc, axis=1)         # 1..C
+                    wmask = idx[None] < n_acc[:, None]           # [S, C]
+                    out = out.at[
+                        rows[:, None],
+                        jnp.where(wmask, tot[:, None] + idx[None], N * C),
+                    ].set(jnp.where(wmask, toks, 0), mode="drop")
+                    ctx = ctx.at[
+                        rows[:, None],
+                        jnp.where(wmask, cur[:, None] + idx[None], cap),
+                    ].set(jnp.where(wmask, toks, 0), mode="drop")
+                    return (cache, ctx, cur + n_acc, out, tot + n_acc), None
+
+                (cache, ctx, cur, out, tot), _ = jax.lax.scan(
+                    body, (cache, ctx, cur, out0, jnp.zeros((S,), jnp.int32)),
+                    jnp.arange(N))
+            return out, tot, cache
+
+        return spec_burst
+
+    def _spec_step(self):
+        """One speculative dispatch; returns finished requests, or None when
+        a slot lacks room for a full burst (caller falls back to the plain
+        per-token decode step for this dispatch)."""
+        k = self.spec_draft_len
+        C = k + 1
+        N = self.steps_per_dispatch
+        cap = self.pool.max_pages_per_seq * self.pool.page_size
+        window = self.cfg.sliding_window if self.rolling_eviction else None
+        # every active slot needs room for the burst's worst case (the
+        # chunk kernel's precondition is length + C <= table capacity, and
+        # retirement happens at cap-1 like the decode path)
+        room = min((cap - 1 - int(self.lengths[s])
+                    for s, r in enumerate(self.slot_req) if r is not None),
+                   default=0)
+        if room < N * C:
+            return None
+        for slot, r in enumerate(self.slot_req):
+            if r is not None:
+                if window:
+                    self.pool.evict_before(
+                        self.slot_uid[slot],
+                        int(self.lengths[slot]) + 1 - window,
+                    )
+                self.pool.extend(self.slot_uid[slot],
+                                 int(self.lengths[slot]) + N * C)
+        cache = self.pool.decode_cache(self.slot_uid, self.lengths)
+        self.rng, sub = jax.random.split(self.rng)
+        # inactive slots upload cur=1 (length 0): their garbage chunk lands
+        # in reserved scratch page 0, exactly like the plain decode step
+        out, tot, cache = self._spec_jit(
+            self.decode_params, self._dec_lora, cache,
+            jnp.asarray(self.ctx_host),
+            jnp.asarray(np.maximum(self.cur_host, 1)), sub)
+        self.pool.update_from(cache)
+        out = np.asarray(out)
+        tot = np.asarray(tot)
+        finished = []
+        for slot, req in enumerate(self.slot_req):
+            if req is None:
+                continue
+            t_n = int(tot[slot])
+            self.spec_tokens += t_n
+            self.spec_chunks += N
+            for i in range(t_n):
+                if not req.done:
+                    self._emit(req, int(out[slot, i]))
+            # the DEVICE advanced the slot by all t_n tokens (host discards
+            # post-eos/post-budget ones; such slots retire below)
+            cur = int(self.cur_host[slot])
+            self.ctx_host[slot, cur: cur + t_n] = out[slot, :t_n]
+            self.cur_host[slot] += t_n
+            self.lengths[slot] += t_n
+            self.last_tokens[slot] = int(out[slot, t_n - 1])
+            if req.done or self.lengths[slot] >= cap - 1:
+                req.done = True
+                finished.append(req)
+                self.pool.release(self.slot_uid[slot])
+                self.slot_req[slot] = None
+                self.slot_uid[slot] = 0
+                self.lengths[slot] = 0
+                self.cur_host[slot] = 0
+        return finished
 
     def _make_prefill_jit(self):
         """ONE dispatch per admission: prompt forward + page scatter +
@@ -583,9 +776,25 @@ class PagedBatcher:
         self.slot_uid[slot] = uid
         self.last_tokens[slot] = tok
         self.lengths[slot] = L
+        if self._spec_jit is not None:
+            # context buffer for in-graph drafting: the (truncated) prompt
+            # is the length-L suffix of the submitted prompt, then the
+            # pending first token
+            self.ctx_host[slot, :] = 0
+            if L > 0:
+                self.ctx_host[slot, :L] = req.prompt[-L:]
+            self.ctx_host[slot, L] = tok
+            self.cur_host[slot] = L + 1
 
     def _decode_step(self):
         from qlora_tpu.generate.sampler import sample_token
+
+        if self._spec_jit is not None:
+            r = self._spec_step()
+            if r is not None:
+                return r
+            # fall through: a slot is too close to capacity for a full
+            # burst — the plain per-token step drains it to retirement
 
         # grow page tables for slots about to write position `length`;
         # sliding-window models roll: pages fully behind the window free up
@@ -650,7 +859,14 @@ class PagedBatcher:
             if req is None:
                 continue
             # the DEVICE advanced every active slot by the full burst
-            self.lengths[slot] += toks_all.shape[0]
+            nb = toks_all.shape[0]
+            if self._spec_jit is not None:
+                # keep the speculation context mirror in sync (this plain
+                # step runs as the near-capacity fallback in spec mode)
+                cur = int(self.cur_host[slot])
+                self.ctx_host[slot, cur: cur + nb] = toks_all[:, slot]
+                self.cur_host[slot] += nb
+            self.lengths[slot] += nb
             if req.done or self.lengths[slot] >= cap - 1:
                 req.done = True
                 finished.append(req)
@@ -658,6 +874,8 @@ class PagedBatcher:
                 self.slot_req[slot] = None
                 self.slot_uid[slot] = 0
                 self.lengths[slot] = 0
+                if self._spec_jit is not None:
+                    self.cur_host[slot] = 0
         return finished
 
     def step(self):

@@ -49,12 +49,30 @@ def requantize_linear_int8(lin: QLinear, k_shards: int = 1) -> QLinear:
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_layer)
 
 
+def _int8_lm_head(params: dict):
+    """Per-column int8 copy of the (bf16 Dense) lm_head — same recipe as
+    the block linears.  The B=1 decode regime otherwise pays the NF4
+    small-M kernel's ~0.14×-SOL wall on the single largest weight read of
+    the step (D×V: 262 MB bf16 at 7B); per-column int8 halves the bytes
+    and runs the direct int8 MXU kernel.  Zero-init vocab-pad columns
+    survive (quantize guards absmax==0), and forward() slices logits back
+    to vocab_size before softmax."""
+    lm = params.get("lm_head")
+    if not isinstance(lm, DenseLinear):
+        return lm   # already quantized or absent
+    w = lm.w.astype(jnp.float32)
+    qt = quantize(w, block_size=w.shape[0], quant_type="int8",
+                  double_quant=False)
+    return QLinear(qt=qt, bias=lm.bias)
+
+
 def requantize_params_int8_unstacked(params: dict) -> dict:
     """Serving copy with ``blocks`` as a PER-LAYER list, built layer by
     layer so the stacked and unstacked int8 trees never coexist (the
     stacked-then-split path peaks ~6.7 GB higher at 7B — enough to OOM a
     16 GB chip next to the NF4 tree and the KV pools).  The list form is
-    what forward()'s unrolled decode path consumes (models/unstack.py)."""
+    what forward()'s unrolled decode path consumes (models/unstack.py).
+    The lm_head joins the serving copy as per-column int8 too."""
     blocks = params["blocks"]
     n_layers = jax.tree_util.tree_leaves(blocks)[0].shape[0]
 
@@ -71,7 +89,7 @@ def requantize_params_int8_unstacked(params: dict) -> dict:
             v_i = jax.tree_util.tree_map(lambda a: a[i], v)
             bl[name] = one_linear(v_i) if isinstance(v, QLinear) else v_i
         out.append(bl)
-    return dict(params, blocks=out)
+    return dict(params, blocks=out, lm_head=_int8_lm_head(params))
 
 
 def requantize_params_int8(params: dict, row_parallel_k_shards: int = 1) -> dict:
@@ -89,4 +107,9 @@ def requantize_params_int8(params: dict, row_parallel_k_shards: int = 1) -> dict
             blocks[name] = requantize_linear_int8(v, ks)
         else:
             blocks[name] = v
-    return dict(params, blocks=blocks)
+    # single-chip serving quantizes the lm_head too; the tp path keeps the
+    # sharded bf16 lm_head (PagedBatcher's tp branch consumes only
+    # dec["blocks"], so the extra copy is sliced away there)
+    lm = _int8_lm_head(params) if row_parallel_k_shards == 1 else params.get(
+        "lm_head")
+    return dict(params, blocks=blocks, lm_head=lm)

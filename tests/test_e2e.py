@@ -403,3 +403,31 @@ def test_predict_int8_decode_impl(tmp_path):
     lines = open(metrics["predictions_path"]).read().splitlines()
     assert len(lines) == 5
     assert all("prediction" in json.loads(l) for l in lines)
+
+
+def test_predict_speculative(tmp_path):
+    """--predict_speculative k routes do_predict through batched
+    prompt-lookup speculation; outputs must match the plain greedy path
+    example-for-example (greedy-exact acceptance)."""
+    data = _write_alpaca(tmp_path, n=32)
+
+    def run(sub, **kw):
+        out = str(tmp_path / sub)
+        args = Args(
+            model_name_or_path="debug-neox", init_random=True,
+            fake_tokenizer=True, dataset=data, output_dir=out,
+            max_steps=1, per_device_train_batch_size=4,
+            gradient_accumulation_steps=1, learning_rate=5e-3, lora_r=4,
+            source_max_len=48, target_max_len=24, do_train=True,
+            do_eval=False, do_predict=True, eval_dataset_size=6,
+            max_eval_samples=4, per_device_eval_batch_size=2,
+            max_new_tokens=6, seed=0, **kw,
+        )
+        metrics = train(args)
+        return [json.loads(l)["prediction"]
+                for l in open(metrics["predictions_path"])]
+
+    plain = run("out_plain")
+    spec = run("out_spec", predict_speculative=4)
+    assert len(spec) == 4
+    assert plain == spec, (plain, spec)

@@ -306,3 +306,100 @@ def test_batched_admission_matches_single():
     # together with multi-step decode bursts must not change greedy output
     combined = run(3, spd=4)
     assert base == combined, (base, combined)
+
+
+# ---------------------------------------------------------------------------
+# speculative serving (verify-chunk decode inside the batcher)
+# ---------------------------------------------------------------------------
+
+
+def _spec_run(params, cfg, *, spec, spd=1, traffic=None, eos=-1,
+              max_pages_per_seq=8, decode_impl=None, sparams=None, seed=0):
+    from qlora_tpu.generate.paged import PagedBatcher
+
+    pb = PagedBatcher(params, None, cfg, num_slots=3, n_pages=64,
+                      page_size=8, max_pages_per_seq=max_pages_per_seq,
+                      prefill_buckets=(16,), eos_id=eos,
+                      steps_per_dispatch=spd, spec_draft_len=spec,
+                      decode_impl=decode_impl, sparams=sparams, seed=seed)
+    reqs = []
+    queue = list(traffic)
+    while queue or pb.queue or pb.num_active:
+        for _ in range(2):
+            if queue:
+                prompt, n = queue.pop(0)
+                reqs.append(pb.submit(prompt, max_new_tokens=n))
+        pb.step()
+    assert pb.pool.n_free == 63
+    assert not pb.pool.tables
+    return [r.generated for r in reqs]
+
+
+def _spec_traffic(n=8, seed=3, vocab=64, nmax=12):
+    rng = np.random.default_rng(seed)
+    return [(rng.integers(1, vocab, size=rng.integers(2, 14)).tolist(),
+             int(rng.integers(2, nmax))) for _ in range(n)]
+
+
+def test_speculative_batcher_matches_plain_greedy():
+    """Schedule parity: the speculative batcher emits exactly the plain
+    greedy batcher's tokens — acceptance only ever keeps the model's own
+    argmax, so draft quality changes chunk count, never output."""
+    cfg = get_config("debug")
+    params = init_params(jax.random.PRNGKey(0), cfg, quantized=True)
+    traffic = _spec_traffic()
+    plain = _spec_run(params, cfg, spec=0, traffic=traffic)
+    spec = _spec_run(params, cfg, spec=3, traffic=traffic)
+    assert plain == spec, (plain, spec)
+
+
+def test_speculative_burst_matches_single_chunk():
+    """steps_per_dispatch chunks per dispatch == one chunk per dispatch."""
+    cfg = get_config("debug")
+    params = init_params(jax.random.PRNGKey(0), cfg, quantized=True)
+    traffic = _spec_traffic(n=6, seed=5)
+    one = _spec_run(params, cfg, spec=2, spd=1, traffic=traffic)
+    burst = _spec_run(params, cfg, spec=2, spd=3, traffic=traffic)
+    assert one == burst, (one, burst)
+
+
+def test_speculative_eos_and_capacity_fallback():
+    """EOS retirement mid-chunk + the near-capacity fallback to the plain
+    per-token step (cap 4 pages x 8 = 32 tokens: long generations force
+    room < N*C) both preserve greedy parity."""
+    cfg = get_config("debug")
+    params = init_params(jax.random.PRNGKey(0), cfg, quantized=True)
+    traffic = _spec_traffic(n=5, seed=9, nmax=20)
+    plain = _spec_run(params, cfg, spec=0, traffic=traffic, eos=5,
+                      max_pages_per_seq=4)
+    spec = _spec_run(params, cfg, spec=4, spd=2, traffic=traffic, eos=5,
+                     max_pages_per_seq=4)
+    assert plain == spec, (plain, spec)
+
+
+def test_speculative_rejection_sampled_completes():
+    """Sampled spec serving: rejection-sampled acceptance — every request
+    terminates within budget, tokens come from the top-k support, and the
+    pool drains clean.  (Distributional exactness of accept_and_resample
+    is pinned in tests/test_speculative.py.)"""
+    from qlora_tpu.generate.sampler import SamplingParams
+
+    cfg = get_config("debug")
+    params = init_params(jax.random.PRNGKey(0), cfg, quantized=True)
+    traffic = _spec_traffic(n=5, seed=11)
+    sp = SamplingParams(do_sample=True, temperature=0.9, top_k=8)
+    outs = _spec_run(params, cfg, spec=3, spd=2, traffic=traffic,
+                     sparams=sp, seed=123)
+    for gen, (_, n) in zip(outs, traffic):
+        assert 0 < len(gen) <= n
+
+
+def test_speculative_int8_impl_completes():
+    """decode_impl='int8' composes with speculation (the serving config)."""
+    cfg = get_config("debug")
+    params = init_params(jax.random.PRNGKey(0), cfg, quantized=True)
+    traffic = _spec_traffic(n=4, seed=13)
+    outs = _spec_run(params, cfg, spec=2, spd=2, traffic=traffic,
+                     decode_impl="int8")
+    for gen, (_, n) in zip(outs, traffic):
+        assert 0 < len(gen) <= n
