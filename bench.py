@@ -475,6 +475,108 @@ def _flash_metrics():
         "unit": "fraction_of_bf16_peak",
         "vs_baseline": round(f4_flops / t4 / (MXU_BF16_TFLOPS * 1e12), 3),
     })
+
+    # S=4096 TRAIN (fwd+bwd) — the long-context gradient path
+    if _remaining() > 150:
+        def loss4(qq, kk, vv):
+            return jnp.sum(flash_attention(
+                qq, kk, vv, lens4, sm_scale=scale, causal=True
+            ).astype(jnp.float32) * 1e-3)
+
+        def mk_train4(R):
+            def f(q4, k4, v4, c):
+                def body(s, _):
+                    dq, dk, dv = jax.grad(loss4, argnums=(0, 1, 2))(
+                        q4 * s.astype(q4.dtype), k4, v4)
+                    probe = (dq[0, 0, 0, :8] + dk[0, 0, 0, :8]
+                             + dv[0, 0, 0, :8])
+                    return s + jnp.sum(probe.astype(jnp.float32)) * 1e-30, ()
+                s, _ = jax.lax.scan(body, c, None, length=R)
+                return s
+            jf = jax.jit(f)
+            return lambda c: jf(q4, k4, v4, c)
+
+        tt4 = _slope(mk_train4, r1=8, r2=24, tries=4)
+        tot4 = f4_flops + 3.5 * f4_flops   # bwd = 7 dots vs fwd's 2
+        _push(out, {
+            "metric": "flash_attention_train_mfu_s4096",
+            "value": round(tot4 / tt4 / (MXU_BF16_TFLOPS * 1e12), 3),
+            "unit": "fraction_of_bf16_peak",
+            "vs_baseline": round(tot4 / tt4 / (MXU_BF16_TFLOPS * 1e12), 3),
+        })
+
+    # S=8192 fwd — the finetune_longcontext_sp.sh global sequence length
+    # (ring attention multiplies the per-chunk kernel measured below)
+    if _remaining() > 150:
+        S8 = 8192
+        q8 = jax.random.normal(kq, (1, Hq, S8, D), jnp.bfloat16)
+        k8 = jax.random.normal(jax.random.fold_in(kq, 6), (1, Hq, S8, D),
+                               jnp.bfloat16)
+        v8 = jax.random.normal(jax.random.fold_in(kq, 7), (1, Hq, S8, D),
+                               jnp.bfloat16)
+        lens8 = jnp.full((1,), S8, jnp.int32)
+        gq8, gk8 = S8 // bq, S8 // bk
+        qi8 = __import__("numpy").arange(gq8)[:, None]
+        ki8 = __import__("numpy").arange(gk8)[None, :]
+        rf8 = float(((qi8 + 1) * bq - 1 >= ki8 * bk).sum()) / (gq8 * gk8)
+        f8_flops = 2 * (2 * S8 * S8 * D) * 1 * Hq * rf8
+
+        def mk_fwd8(R):
+            def f(q8, k8, v8, c):
+                def body(s, _):
+                    o = flash_attention(q8 * s.astype(q8.dtype), k8, v8,
+                                        lens8, sm_scale=scale, causal=True)
+                    return s + jnp.sum(
+                        o[0, 0, 0, :8].astype(jnp.float32)) * 1e-30, ()
+                s, _ = jax.lax.scan(body, c, None, length=R)
+                return s
+            jf = jax.jit(f)
+            return lambda c: jf(q8, k8, v8, c)
+
+        t8 = _slope(mk_fwd8, r1=12, r2=36, tries=4)
+        _push(out, {
+            "metric": "flash_attention_fwd_mfu_s8192",
+            "value": round(f8_flops / t8 / (MXU_BF16_TFLOPS * 1e12), 3),
+            "unit": "fraction_of_bf16_peak",
+            "vs_baseline": round(f8_flops / t8 / (MXU_BF16_TFLOPS * 1e12), 3),
+        })
+
+    # ring-attention interior chunk: flash_attention_lse NON-causal at the
+    # sp=4 local shape of finetune_longcontext_sp.sh (B=1, Sq=Sk=2048) —
+    # the op each rotation of the ring executes N-1 times; its MFU is the
+    # ring path's per-chip ceiling (ops/ring_attention.py)
+    if _remaining() > 120:
+        from qlora_tpu.ops.flash_attention import flash_attention_lse
+
+        qr = jax.random.normal(kq, (1, Hq, 2048, D), jnp.bfloat16)
+        kr = jax.random.normal(jax.random.fold_in(kq, 8), (1, Hq, 2048, D),
+                               jnp.bfloat16)
+        vr = jax.random.normal(jax.random.fold_in(kq, 9), (1, Hq, 2048, D),
+                               jnp.bfloat16)
+        lensr = jnp.full((1,), 2048, jnp.int32)
+        rc_flops = 2 * (2 * 2048 * 2048 * D) * 1 * Hq   # full grid, no mask
+
+        def mk_ring(R):
+            def f(qr, kr, vr, c):
+                def body(s, _):
+                    o, lse = flash_attention_lse(
+                        qr * s.astype(qr.dtype), kr, vr, lensr,
+                        sm_scale=scale, causal=False)
+                    return s + (jnp.sum(o[0, 0, 0, :8].astype(jnp.float32))
+                                + jnp.sum(lse[0, 0, :8]) * 1e-30) * 1e-30, ()
+                s, _ = jax.lax.scan(body, c, None, length=R)
+                return s
+            jf = jax.jit(f)
+            return lambda c: jf(qr, kr, vr, c)
+
+        tr = _slope(mk_ring, r1=64, r2=192, tries=4)
+        _push(out, {
+            "metric": "ring_chunk_flash_mfu_sq2048",
+            "value": round(rc_flops / tr / (MXU_BF16_TFLOPS * 1e12), 3),
+            "unit": "fraction_of_bf16_peak (non-causal lse chunk, sp=4 "
+                    "local shape)",
+            "vs_baseline": round(rc_flops / tr / (MXU_BF16_TFLOPS * 1e12), 3),
+        })
     return out
 
 
@@ -737,14 +839,22 @@ def _serving_metrics():
     script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "benchmarks", "serving_trace.py")
     small = bool(os.environ.get("QLORA_BENCH_SMALL"))
-    tp_cfg, lat_cfg, spec_cfg = (
+    # spec pair: plain vs speculative on the SAME decode-dominant
+    # reuse-heavy trace (motif prompts, 256 generated — the workload
+    # speculation targets; r5 on-chip sweep: spec=3 1402 vs plain 968
+    # tok/s = 1.45x at comparable TTFT; spec=7 loses, chunk cost outgrows
+    # acceptance)
+    tp_cfg, lat_cfg, plain_reuse_cfg, spec_cfg = (
         ("slots=32,n_req=48,admit_batch=4,spd=16,n_pages=288",
          "slots=16,n_req=24,admit_batch=4,spd=16,n_pages=256",
-         "slots=32,n_req=48,admit_batch=4,spd=4,n_pages=288,spec=3")
+         "slots=32,n_req=32,admit_batch=4,spd=16,n_pages=288,reuse=1,new=256",
+         "slots=32,n_req=32,admit_batch=4,spd=16,n_pages=288,spec=3,"
+         "reuse=1,new=256")
         if not small else
         ("slots=2,n_req=4,admit_batch=2,spd=1,n_pages=32",
          "slots=2,n_req=3,admit_batch=2,spd=1,n_pages=32",
-         "slots=2,n_req=4,admit_batch=2,spd=1,n_pages=32,spec=2"))
+         "slots=2,n_req=4,admit_batch=2,spd=1,n_pages=32,reuse=1",
+         "slots=2,n_req=4,admit_batch=2,spd=1,n_pages=32,spec=2,reuse=1"))
 
     def run_cfg(cfg_str):
         to = max(min(_remaining() - 20, 1500), 120)
@@ -786,24 +896,31 @@ def _serving_metrics():
             "vs_baseline": d["vs_ttft_ideal"],
         },
     ]
-    if _remaining() > 240:
+    if _remaining() > 300:
         try:
+            dp = run_cfg(plain_reuse_cfg)
             ds = run_cfg(spec_cfg)
+            speedup = round(ds["tok_s"] / max(dp["tok_s"], 1e-9), 3)
             out += [
                 {
                     "metric": "paged_batcher_tokens_per_s_spec",
                     "value": ds["tok_s"],
-                    "unit": "tokens/s/chip (32-slot speculative config, "
-                            f"draft 3, {ds['tok_per_chunk']} tok/chunk; "
-                            f"ceiling {ds['tok_s_ceiling']})",
+                    "unit": "tokens/s/chip (32-slot speculative draft-3, "
+                            "reuse-heavy decode-dominant trace; "
+                            f"{ds['tok_per_chunk']} tok/chunk, plain on "
+                            f"same trace {dp['tok_s']}; ceiling "
+                            f"{ds['tok_s_ceiling']})",
                     "vs_baseline": ds["vs_tok_ceiling"],
                 },
                 {
-                    "metric": "paged_batcher_ttft_ms_median_spec",
-                    "value": ds["ttft_ms"],
-                    "unit": "ms (speculative config; unloaded ideal "
-                            f"{ds['ttft_ideal_ms']})",
-                    "vs_baseline": ds["vs_ttft_ideal"],
+                    "metric": "paged_batcher_spec_speedup",
+                    "value": speedup,
+                    "unit": "x over the plain engine on the same trace "
+                            f"(TTFT {ds['ttft_ms']} vs {dp['ttft_ms']} ms); "
+                            "vs_baseline = speedup / measured tok-per-chunk "
+                            "(1.0 = chunks as cheap as plain steps)",
+                    "vs_baseline": round(
+                        speedup / max(ds["tok_per_chunk"], 1e-9), 3),
                 },
             ]
         except Exception as e:  # noqa: BLE001

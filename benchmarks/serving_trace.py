@@ -66,9 +66,20 @@ def _ceilings(cfg, *, slots, n_req, admit_batch, spd, plen, new, bucket,
     return tok_s_ceiling, ttft_ideal
 
 
+def _make_prompt(rng, plen, vocab, reuse):
+    """reuse=0: i.i.d. random tokens (worst case for prompt-lookup).
+    reuse=1: a short random motif tiled to plen — the reuse-heavy regime
+    (summarization/extraction/chat-with-context re-uses long spans); the
+    model's continuation tends to continue the motif, so drafts accept."""
+    if not reuse:
+        return rng.integers(1, vocab, size=plen).tolist()
+    motif = rng.integers(1, vocab, size=int(rng.integers(4, 9))).tolist()
+    return (motif * (plen // len(motif) + 1))[:plen]
+
+
 def run_config(params, cfg, *, slots, n_req, admit_batch, spd, n_pages,
                plen=384, new=128, page_size=64, bucket=512, small=False,
-               emit_json=False, spec=0):
+               emit_json=False, spec=0, reuse=0):
     from qlora_tpu.generate.paged import PagedBatcher
 
     pb = PagedBatcher(
@@ -92,14 +103,14 @@ def run_config(params, cfg, *, slots, n_req, admit_batch, spd, n_pages,
     # warmup wave pays the compiles (incl. the admit_batch group program:
     # submit admit_batch+1 requests so both group shapes compile)
     for _ in range(max(admit_batch + 1, 2)):
-        pb.submit(rng.integers(1, cfg.vocab_size, size=plen).tolist(),
+        pb.submit(_make_prompt(rng, plen, cfg.vocab_size, reuse),
                   max_new_tokens=2)
     pb.run_to_completion()
 
     t0 = time.perf_counter()
     reqs = []
     for i in range(n_req):
-        prompt = rng.integers(1, cfg.vocab_size, size=plen).tolist()
+        prompt = _make_prompt(rng, plen, cfg.vocab_size, reuse)
         r = pb.submit(prompt, max_new_tokens=new, on_token=on_token(i))
         t_submit[i] = time.perf_counter()
         reqs.append(r)

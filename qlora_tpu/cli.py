@@ -836,8 +836,10 @@ def _resolve_mmlu_path(args) -> Optional[str]:
                     "MMLU data %s is a bundled DERIVED split (shots/records "
                     "re-derived from the val file, data/mmlu/README.md): "
                     "accuracies are self-consistent but NOT comparable to "
-                    "published MMLU numbers. Fetch the canonical splits with "
-                    "scripts/get_mmlu_data.py.", cand,
+                    "published MMLU numbers. Build the canonical splits "
+                    "OFFLINE from the official data.tar with "
+                    "scripts/get_mmlu_data.py --from_tar PATH (or "
+                    "--from_hub with network).", cand,
                 )
             return cand
     return None

@@ -19,6 +19,13 @@ import numpy as np
 from qlora_tpu.models.config import ModelConfig
 
 
+class PoolExhausted(MemoryError):
+    """The shared page pool has no free page (recoverable: the batcher
+    preempts the youngest sequence and retries).  Distinct from the plain
+    MemoryError raised when one sequence exceeds max_pages_per_seq —
+    preemption cannot fix a per-sequence capacity violation."""
+
+
 class PagedPool:
     """Physical page pool + free-list allocator."""
 
@@ -32,6 +39,7 @@ class PagedPool:
         L, KVH, hd = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
         self.page_size = page_size
         self.max_pages_per_seq = max_pages_per_seq
+        self.n_pages = n_pages
         # PAGE-MAJOR pools, one PER-LAYER array [np, KVH, P, hd] in a list:
         # one DMA moves a whole page for all kv heads (the fused paged
         # kernel's transfer unit), and per-layer lists let forward() unroll
@@ -58,7 +66,7 @@ class PagedPool:
     def allocate(self, uid: int, n_tokens: int) -> list[int]:
         need = self.pages_needed(n_tokens)
         if need > len(self.free):
-            raise MemoryError(
+            raise PoolExhausted(
                 f"page pool exhausted: need {need}, free {len(self.free)}"
             )
         pages = [self.free.pop() for _ in range(need)]
@@ -74,7 +82,7 @@ class PagedPool:
         if need > have:
             for _ in range(need - have):
                 if not self.free:
-                    raise MemoryError("page pool exhausted")
+                    raise PoolExhausted("page pool exhausted")
                 self.tables[uid].append(self.free.pop())
 
     def release(self, uid: int) -> None:
@@ -156,7 +164,8 @@ class PagedBatcher:
                  seed=0, decode_impl=None, prefill_impl=None,
                  rolling_eviction=True, tp_mesh=None,
                  steps_per_dispatch=1, admit_batch=1,
-                 spec_draft_len=0, spec_ngram=2):
+                 spec_draft_len=0, spec_ngram=2,
+                 admission="optimistic"):
         # num_slots defaults to 128: the decode matmul's M dim equals the
         # slot count, and the fused NF4 kernel's MXU cost at M=16 equals
         # M=128 (row padding) — batching to M≈128 is ~free throughput ×8
@@ -320,6 +329,25 @@ class PagedBatcher:
         self.lengths = np.zeros((num_slots,), np.int32)
         self.queue = []
         self._uid = 0
+        # admission="optimistic" (vLLM-style, the default): admit when the
+        # PROMPT fits (pages_needed(L+1) + a small watermark), grow pages
+        # on demand, and on pool exhaustion mid-decode preempt the
+        # youngest sequence — release its pages and requeue it for
+        # recompute (prefill is one fused dispatch, so recompute is
+        # cheap).  "reserved" restores the round-4 behavior: admit only
+        # when the worst case pages_needed(L + max_new_tokens) is free —
+        # occupancy bounded by every live request's worst case.
+        if admission not in ("optimistic", "reserved"):
+            raise ValueError(f"admission={admission!r}")
+        self.admission = admission
+        self._watermark = max(1, n_pages // 64)
+        self.preemptions = 0
+        self.preemption_log = []   # (uid, tokens generated when evicted)
+        # reserved mode: aggregate worst-case accounting (uid → its
+        # pages_needed(L + max_new)); admission holds back until the SUM
+        # of live worst cases fits the pool, so exhaustion (and therefore
+        # preemption) is impossible by construction
+        self._reserved: dict[int, int] = {}
 
     def _make_decode_jit(self):
         import contextlib
@@ -485,8 +513,10 @@ class PagedBatcher:
                         self.slot_uid[slot],
                         int(self.lengths[slot]) + 1 - window,
                     )
-                self.pool.extend(self.slot_uid[slot],
-                                 int(self.lengths[slot]) + N * C)
+                self._extend_or_preempt(slot,
+                                        int(self.lengths[slot]) + N * C)
+        if self.num_active == 0:
+            return []
         cache = self.pool.decode_cache(self.slot_uid, self.lengths)
         self.rng, sub = jax.random.split(self.rng)
         # inactive slots upload cur=1 (length 0): their garbage chunk lands
@@ -518,11 +548,7 @@ class PagedBatcher:
             if req.done or self.lengths[slot] >= cap - 1:
                 req.done = True
                 finished.append(req)
-                self.pool.release(self.slot_uid[slot])
-                self.slot_req[slot] = None
-                self.slot_uid[slot] = 0
-                self.lengths[slot] = 0
-                self.cur_host[slot] = 0
+                self._release_slot(slot)
         return finished
 
     def _make_prefill_jit(self):
@@ -691,14 +717,27 @@ class PagedBatcher:
                     self.pool.pages_needed(L + 1),
                     self.pool.pages_needed(self.cfg.sliding_window) + 2,
                 )
+            elif self.admission == "optimistic":
+                # admit on the prompt's own footprint + a watermark; decode
+                # grows pages on demand and preempts on exhaustion
+                need = self.pool.pages_needed(L + 1) + self._watermark
             else:
-                need = self.pool.pages_needed(L + req.max_new_tokens)
+                # true reservation: the SUM of live requests' worst cases
+                # must fit the pool (n_pages - 1: page 0 is scratch), so
+                # mid-decode exhaustion cannot happen
+                wc = self.pool.pages_needed(L + req.max_new_tokens)
+                if (sum(self._reserved.values()) + wc
+                        > self.pool.n_pages - 1):
+                    break
+                need = self.pool.pages_needed(L + 1)
             if need > self.pool.n_free:
                 break  # not enough pages yet; wait for retirements
             self.queue.pop(0)
             bucket = next((b for b in self.prefill_buckets if b >= L),
                           self.prefill_buckets[-1])
             uid = req.uid
+            if self.admission == "reserved":
+                self._reserved[uid] = wc
             if self._tp_prefill_fn is None:
                 # fused single-dispatch admission (see _make_prefill_jit);
                 # dispatched below, possibly grouped
@@ -767,9 +806,52 @@ class PagedBatcher:
         for slot, req, uid, L, tok_d in pending:
             self._finish_admit(slot, req, uid, L, int(tok_d))
 
+    def _release_slot(self, slot):
+        self._reserved.pop(self.slot_uid[slot], None)
+        self.pool.release(self.slot_uid[slot])
+        self.slot_req[slot] = None
+        self.slot_uid[slot] = 0
+        self.lengths[slot] = 0
+        if self._spec_jit is not None:
+            self.cur_host[slot] = 0
+
+    def _preempt(self, slot):
+        """Evict a live sequence to free its pages: requeue the request at
+        the queue FRONT (it is older than anything waiting) with its
+        verified context as the new prompt — re-admission re-prefills
+        prompt+generated in one fused dispatch and generation continues
+        exactly where it stopped (greedy: same tokens; sampled: a fresh
+        rng stream for the remainder)."""
+        req = self.slot_req[slot]
+        req.prompt = list(req.prompt) + list(req.generated)
+        self.preemption_log.append((req.uid, len(req.generated)))
+        self._release_slot(slot)
+        self.queue.insert(0, req)
+        self.preemptions += 1
+
+    def _extend_or_preempt(self, slot, target_tokens):
+        """Grow `slot`'s page table to cover target_tokens; on pool
+        exhaustion preempt the youngest OTHER sequence and retry (last
+        resort: preempt `slot` itself).  Returns False if `slot` was
+        preempted.  Progress is guaranteed: every preemption frees >= 1
+        page and older sequences always win, so the oldest request runs
+        to completion."""
+        while self.slot_req[slot] is not None:
+            try:
+                self.pool.extend(self.slot_uid[slot], target_tokens)
+                return True
+            except PoolExhausted:
+                victims = [s for s, r in enumerate(self.slot_req)
+                           if r is not None and s != slot]
+                victim = (max(victims, key=lambda s: self.slot_uid[s])
+                          if victims else slot)
+                self._preempt(victim)
+        return False
+
     def _finish_admit(self, slot, req, uid, L, tok):
         self._emit(req, tok)
         if req.done:
+            self._reserved.pop(uid, None)
             self.pool.release(uid)
             return
         self.slot_req[slot] = req
@@ -818,8 +900,9 @@ class PagedBatcher:
                         self.slot_uid[slot],
                         int(self.lengths[slot]) + 1 - window,
                     )
-                self.pool.extend(self.slot_uid[slot],
-                                 int(self.lengths[slot]) + n)
+                self._extend_or_preempt(slot, int(self.lengths[slot]) + n)
+        if self.num_active == 0:
+            return []
         cache = self.pool.decode_cache(self.slot_uid, self.lengths)
         self.rng, sub = jax.random.split(self.rng)
 
@@ -870,12 +953,7 @@ class PagedBatcher:
             if req.done or self.lengths[slot] >= cap - 1:
                 req.done = True
                 finished.append(req)
-                self.pool.release(self.slot_uid[slot])
-                self.slot_req[slot] = None
-                self.slot_uid[slot] = 0
-                self.lengths[slot] = 0
-                if self._spec_jit is not None:
-                    self.cur_host[slot] = 0
+                self._release_slot(slot)
         return finished
 
     def step(self):
