@@ -541,7 +541,9 @@ def train(args: Args) -> dict:
                 sp_fn = make_sp_train_step(
                     cfg, lcfg, optimizer, mesh_s, params, state,
                     accum_steps=args.gradient_accumulation_steps,
-                    clip_norm=args.max_grad_norm, donate=False)
+                    clip_norm=args.max_grad_norm, donate=False,
+                    remat=(args.remat_policy if args.gradient_checkpointing
+                           else False))
                 _spn = args.mesh_sp
 
                 def step_fn(st, fr, b, r):
@@ -598,6 +600,8 @@ def train(args: Args) -> dict:
                     cfg, lcfg, optimizer, mesh_m, params, state,
                     accum_steps=args.gradient_accumulation_steps,
                     clip_norm=args.max_grad_norm, donate=False,
+                    remat=(args.remat_policy if args.gradient_checkpointing
+                           else False),
                 )
                 step_fn = lambda st, fr, b, r: sh_fn(st, fr, b, r)
                 # skip the gather-style setup below
@@ -634,6 +638,8 @@ def train(args: Args) -> dict:
                     cfg, lcfg, optimizer, mesh, params, state,
                     accum_steps=args.gradient_accumulation_steps,
                     clip_norm=args.max_grad_norm, donate=False,
+                    remat=(args.remat_policy if args.gradient_checkpointing
+                           else False),
                 )
                 step_fn = lambda st, fr, b, r: sh_fn(st, fr, b, r)
             if args.optim_host_offload:

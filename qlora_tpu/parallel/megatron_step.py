@@ -191,6 +191,7 @@ def make_megatron_train_step(
     accum_steps: int = 1,
     clip_norm: Optional[float] = 0.3,
     donate: bool = True,
+    remat: str = "save_linear",   # see transformer._remat_wrap
 ):
     """Returns train_step(state, frozen, batch, rng); mesh axes ("dp","tp").
 
@@ -233,7 +234,7 @@ def make_megatron_train_step(
             with tp_shard_context("tp", None, style="megatron"):
                 logits, _ = forward(
                     frozen, trainable, mb["input_ids"], cfg, lcfg,
-                    attn_mask=mb["attention_mask"], rng=r, remat=True,
+                    attn_mask=mb["attention_mask"], rng=r, remat=remat,
                 )
             loss, n = masked_cross_entropy(
                 logits[:, :-1], mb["labels"][:, 1:]

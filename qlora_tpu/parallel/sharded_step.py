@@ -229,6 +229,7 @@ def make_sharded_train_step(
     accum_steps: int = 1,
     clip_norm: Optional[float] = 0.3,
     donate: bool = True,
+    remat: str = "save_linear",   # see transformer._remat_wrap
 ):
     """Returns train_step(state, frozen, batch, rng) under shard_map.
 
@@ -266,7 +267,7 @@ def make_sharded_train_step(
             with tp_shard_context("tp", "fsdp"):
                 logits, _ = forward(
                     frozen, trainable, mb["input_ids"], cfg, lcfg,
-                    attn_mask=mb["attention_mask"], rng=r, remat=True,
+                    attn_mask=mb["attention_mask"], rng=r, remat=remat,
                 )
             loss, n = masked_cross_entropy(logits[:, :-1], mb["labels"][:, 1:])
             return loss * n, n  # LOCAL token-loss sum — no collectives in here

@@ -65,6 +65,8 @@ def make_sp_train_step(
     accum_steps: int = 1,
     clip_norm: Optional[float] = 0.3,
     donate: bool = True,
+    remat: str = "full",   # long-context path: keep min-memory remat by
+                           # default; "save_linear" trades HBM for speed
 ):
     """Returns train_step(state, frozen, batch, rng) with batch [B, S]
     (or [accum, B, S] when accum_steps > 1): B sharded over dp (× fsdp when
@@ -107,7 +109,7 @@ def make_sp_train_step(
                                   "fsdp" if weight_sharded else None):
                 logits, _ = forward(
                     frozen, trainable, ids, cfg, lcfg,
-                    rng=r, remat=True, sp_axis="sp",
+                    rng=r, remat=remat, sp_axis="sp",
                 )
             # labels were shifted GLOBALLY before sharding, so local logits
             # align with local labels — no cross-shard shift needed here
