@@ -843,9 +843,16 @@ class PagedBatcher:
             except PoolExhausted:
                 victims = [s for s, r in enumerate(self.slot_req)
                            if r is not None and s != slot]
-                victim = (max(victims, key=lambda s: self.slot_uid[s])
-                          if victims else slot)
-                self._preempt(victim)
+                if not victims:
+                    # self-preemption cannot make progress: re-admission
+                    # would grow right back to the same exhaustion.  The
+                    # pool is simply too small for this one sequence.
+                    raise MemoryError(
+                        "page pool too small for a single sequence "
+                        f"(need {self.pool.pages_needed(target_tokens)} "
+                        f"pages, pool {self.pool.n_pages - 1} usable); "
+                        "raise n_pages or lower max_new_tokens") from None
+                self._preempt(max(victims, key=lambda s: self.slot_uid[s]))
         return False
 
     def _finish_admit(self, slot, req, uid, L, tok):

@@ -493,3 +493,21 @@ def test_optimistic_speculative_preemption():
         g = plog.get(i, len(r))
         assert o[:g] == r[:g], (i, g)
         assert len(o) == len(r)
+
+
+def test_optimistic_single_sequence_pool_too_small_raises():
+    """A pool smaller than one sequence's need must raise (clear message),
+    not livelock on self-preemption + re-admission."""
+    import pytest
+
+    from qlora_tpu.generate.paged import PagedBatcher
+
+    cfg = get_config("debug")
+    params = init_params(jax.random.PRNGKey(0), cfg, quantized=True)
+    pb = PagedBatcher(params, None, cfg, num_slots=1, n_pages=4,
+                      page_size=8, max_pages_per_seq=8,
+                      prefill_buckets=(16,), eos_id=-1,
+                      admission="optimistic")
+    pb.submit(list(range(1, 15)), max_new_tokens=40)
+    with pytest.raises(MemoryError, match="too small for a single"):
+        pb.run_to_completion()
