@@ -217,8 +217,10 @@ class PagedBatcher:
         self.admit_batch = max(int(admit_batch), 1)
         # speculative serving: each "decode step" becomes a VERIFY CHUNK of
         # spec_draft_len prompt-lookup drafts + the pending token, retiring
-        # 1..spec_draft_len+1 tokens per weight pass (the round-4 B=1 win,
-        # composed with continuous batching).  Drafting runs IN-GRAPH over a
+        # 1..spec_draft_len+1 tokens per weight pass (the B=1 speculation
+        # win composed with continuous batching; the TPU-native answer to
+        # the reference's admitted inference-speed gap,
+        # /root/reference/README.md:135).  Drafting runs IN-GRAPH over a
         # per-slot context buffer, so steps_per_dispatch chunks run inside
         # one dispatch; acceptance is greedy-exact (default sparams) or
         # rejection-sampled (do_sample), both schedule-invariant — the

@@ -61,9 +61,21 @@ def _int8_lm_head(params: dict):
     if not isinstance(lm, DenseLinear):
         return lm   # already quantized or absent
     w = lm.w.astype(jnp.float32)
+    # pad N to a multiple of 1024 (llama's 32000 → 32768): the direct-int8
+    # kernel's weight streaming needs wide N-contiguous tiles (TN 1024/2048
+    # ≈ 0.92 of HBM SOL vs 128-wide strided rows for an unpadded vocab);
+    # pad columns are zero and forward() slices logits back to vocab_size
+    # before softmax, so they never receive probability mass
+    N = w.shape[1]
+    pad = (-N) % 1024
+    if pad:
+        w = jnp.pad(w, ((0, 0), (0, pad)))
     qt = quantize(w, block_size=w.shape[0], quant_type="int8",
                   double_quant=False)
-    return QLinear(qt=qt, bias=lm.bias)
+    bias = lm.bias
+    if bias is not None and pad:
+        bias = jnp.pad(bias, ((0, pad),))
+    return QLinear(qt=qt, bias=bias)
 
 
 def requantize_params_int8_unstacked(params: dict) -> dict:

@@ -26,6 +26,7 @@ Two implementations share the storage format:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Literal, Optional
 
 import jax
@@ -334,8 +335,25 @@ def _qmm_pallas_i8_direct(x, codes, col_scale, shape, out_dtype=jnp.bfloat16):
     s_out = (col_scale.reshape(1, N) / 127.0).astype(jnp.float32)
 
     TM = _pick_tile(Mp, (512, 256, 128, 64, 32))
-    TK = _pick_tile(K, (1024, 512, 256, 128))
-    TN = _pick_tile(N, (512, 256, 128))
+    # r5 on-chip sweep (M=128, 4096²): TN 512 → 1024/2048 lifts weight
+    # streaming 0.81 → 0.92 of HBM SOL (wider N-contiguous DMA rows,
+    # fewer tile boundaries); TK 2048 ≈ 1024 at TN ≥ 1024.  Big tiles
+    # only in the decode regime (TM ≤ 256) where the VMEM budget
+    # (2·TK·TN w + 4·TM·TN acc + x/out) stays ≤ ~10 MB.  Callers with
+    # pallas-hostile N (e.g. a 32000-column lm_head would land on TN=128,
+    # 128-byte DMA rows) should pad N to a multiple of 1024 at
+    # requantize time — serve_int8._int8_lm_head does.
+    if TM <= 256:
+        TK = _pick_tile(K, (2048, 1024, 512, 256, 128))
+        TN = _pick_tile(N, (1024, 512, 256, 128))
+    else:
+        TK = _pick_tile(K, (1024, 512, 256, 128))
+        TN = _pick_tile(N, (512, 256, 128))
+    ov = os.environ.get("QLORA_I8_TILES")   # "tk,tn" — A/B experiments only
+    if ov:
+        tko, tno = (int(v) for v in ov.split(","))
+        TK = _pick_tile(K, (tko, 1024, 512, 256, 128))
+        TN = _pick_tile(N, (tno, 512, 256, 128))
     grid = (Mp // TM, N // TN, K // TK)
     out = pl.pallas_call(
         functools.partial(_i8_direct_kernel, out_dtype=out_dtype),
