@@ -562,9 +562,12 @@ def _flash_metrics():
         def mk_ring(R):
             def f(qr, kr, vr, c):
                 def body(s, _):
+                    # bq/bk mirror ring_attention._ring_flash (r5: bk=2048
+                    # lifts the non-causal chunk 0.604 -> 0.708 MFU)
                     o, lse = flash_attention_lse(
                         qr * s.astype(qr.dtype), kr, vr, lensr,
-                        sm_scale=scale, causal=False)
+                        sm_scale=scale, causal=False, block_q=1024,
+                        block_k=2048)
                     return s + (jnp.sum(o[0, 0, 0, :8].astype(jnp.float32))
                                 + jnp.sum(lse[0, 0, :8]) * 1e-30) * 1e-30, ()
                 s, _ = jax.lax.scan(body, c, None, length=R)
