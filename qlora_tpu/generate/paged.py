@@ -229,11 +229,10 @@ class PagedBatcher:
         self.spec_ngram = int(spec_ngram)
         self._spec_jit = None
         if self.spec_draft_len > 0:
-            if tp_mesh is not None:
-                raise NotImplementedError(
-                    "spec_draft_len > 0 is single-chip serving for now; tp "
-                    "serving decodes per-token (the verify-chunk shard_map "
-                    "forward is not wired)")
+            # tp serving composes too: the shard_map forward dispatches by
+            # S, so a [slots, k+1] chunk runs the fused paged CHUNK kernel
+            # on each device's local heads; drafting is host-side there
+            # (one chunk per dispatch, like the rest of the tp loop)
             sp = sparams
             if sp is not None and sp.do_sample and (
                     sp.repetition_penalty != 1.0
@@ -491,13 +490,35 @@ class PagedBatcher:
 
         return spec_burst
 
+    def _host_drafts(self):
+        """Prompt-lookup drafts per slot from the host context mirror —
+        the tp path's drafting (the single-chip path drafts in-graph)."""
+        k, n = self.spec_draft_len, self.spec_ngram
+        drafts = np.zeros((self.num_slots, k), np.int32)
+        for s, r in enumerate(self.slot_req):
+            if r is None:
+                continue
+            cur = int(self.cur_host[s])
+            if cur < n + 1:
+                continue
+            ctx = self.ctx_host[s, :cur]
+            tail = ctx[-n:]
+            win = np.lib.stride_tricks.sliding_window_view(ctx, n)
+            m = np.nonzero((win == tail).all(1))[0]
+            m = m[m < cur - n]          # strictly earlier occurrence
+            if len(m):
+                d = ctx[m[-1] + n: m[-1] + n + k]
+                drafts[s, : len(d)] = d
+        return drafts
+
     def _spec_step(self):
         """One speculative dispatch; returns finished requests, or None when
         a slot lacks room for a full burst (caller falls back to the plain
         per-token decode step for this dispatch)."""
         k = self.spec_draft_len
         C = k + 1
-        N = self.steps_per_dispatch
+        tp = self._tp_decode_fn is not None
+        N = 1 if tp else self.steps_per_dispatch
         cap = self.pool.max_pages_per_seq * self.pool.page_size
         window = self.cfg.sliding_window if self.rolling_eviction else None
         # every active slot needs room for the burst's worst case (the
@@ -521,15 +542,40 @@ class PagedBatcher:
             return []
         cache = self.pool.decode_cache(self.slot_uid, self.lengths)
         self.rng, sub = jax.random.split(self.rng)
-        # inactive slots upload cur=1 (length 0): their garbage chunk lands
-        # in reserved scratch page 0, exactly like the plain decode step
-        out, tot, cache = self._spec_jit(
-            self.decode_params, self._dec_lora, cache,
-            jnp.asarray(self.ctx_host),
-            jnp.asarray(np.maximum(self.cur_host, 1)), sub)
+        if tp:
+            # one [slots, C] verify chunk through the shard_map forward;
+            # acceptance on host (the tp loop is per-dispatch anyway)
+            from qlora_tpu.generate.speculative import (
+                _target_probs, accept_and_resample,
+            )
+
+            drafts = self._host_drafts()
+            inp = np.concatenate(
+                [self.last_tokens[:, None], drafts], axis=1)
+            logits, cache = self._tp_decode_fn(
+                self.decode_params, self.lora, jnp.asarray(inp), cache)
+            if self.sparams is not None and self.sparams.do_sample:
+                S = self.num_slots
+                probs = _target_probs(
+                    logits.reshape(S * C, -1), self.sparams
+                ).reshape(S, C, -1)
+                toks, n_acc = accept_and_resample(
+                    sub, probs, jnp.asarray(drafts))
+                out, tot = np.asarray(toks), np.asarray(n_acc)
+            else:
+                out = np.asarray(jnp.argmax(logits, axis=-1), np.int32)
+                acc = np.cumprod(drafts == out[:, :-1], axis=1)
+                tot = 1 + acc.sum(axis=1)
+        else:
+            # inactive slots upload cur=1 (length 0): their garbage chunk
+            # lands in reserved scratch page 0, like the plain decode step
+            out, tot, cache = self._spec_jit(
+                self.decode_params, self._dec_lora, cache,
+                jnp.asarray(self.ctx_host),
+                jnp.asarray(np.maximum(self.cur_host, 1)), sub)
+            out = np.asarray(out)
+            tot = np.asarray(tot)
         self.pool.update_from(cache)
-        out = np.asarray(out)
-        tot = np.asarray(tot)
         finished = []
         for slot, req in enumerate(self.slot_req):
             if req is None:
@@ -814,7 +860,7 @@ class PagedBatcher:
         self.slot_req[slot] = None
         self.slot_uid[slot] = 0
         self.lengths[slot] = 0
-        if self._spec_jit is not None:
+        if self.spec_draft_len > 0:
             self.cur_host[slot] = 0
 
     def _preempt(self, slot):
@@ -867,7 +913,7 @@ class PagedBatcher:
         self.slot_uid[slot] = uid
         self.last_tokens[slot] = tok
         self.lengths[slot] = L
-        if self._spec_jit is not None:
+        if self.spec_draft_len > 0:
             # context buffer for in-graph drafting: the (truncated) prompt
             # is the length-L suffix of the submitted prompt, then the
             # pending first token
@@ -880,7 +926,7 @@ class PagedBatcher:
     def _decode_step(self):
         from qlora_tpu.generate.sampler import sample_token
 
-        if self._spec_jit is not None:
+        if self.spec_draft_len > 0:
             r = self._spec_step()
             if r is not None:
                 return r
@@ -952,7 +998,7 @@ class PagedBatcher:
                 continue
             # the DEVICE advanced every active slot by the full burst
             nb = toks_all.shape[0]
-            if self._spec_jit is not None:
+            if self.spec_draft_len > 0:
                 # keep the speculation context mirror in sync (this plain
                 # step runs as the near-capacity fallback in spec mode)
                 cur = int(self.cur_host[slot])

@@ -101,8 +101,9 @@ def make_tp_forward_fn(
     single-token decode (ids [B, 1]) alike — the same contiguous-cache
     forward the single-chip engines use, sharded head-wise.  With
     ``paged=True`` the cache is the paged-pool dict ({"k_pages", "v_pages",
-    "tables", "length"}, S must be 1) and the paged-attention kernel runs
-    on each device's local heads.  ``impl="w8a8"`` routes QLinears through
+    "tables", "length"}); S=1 runs the fused paged decode kernel and
+    S>1 the fused paged CHUNK kernel (speculative verify) on each
+    device's local heads.  ``impl="w8a8"`` routes QLinears through
     the int8 serving kernels (chunk-local per-column int8 weights — see
     generate/serve_int8.requantize_params_int8(row_parallel_k_shards=tp)).
     """

@@ -233,3 +233,38 @@ def test_tp_decode_no_lora():
     tp_logits, _ = fn(p_tp, None, ids, cache)
     np.testing.assert_allclose(np.asarray(tp_logits), np.asarray(ref_logits),
                                rtol=0, atol=0.15)
+
+
+def test_paged_batcher_tp_speculative():
+    """Speculation composes with tp serving: the [slots, k+1] verify chunk
+    runs the fused paged CHUNK kernel on each device's local heads
+    (host-side drafting, per-slot rollback); outputs must match the
+    non-speculative tp engine token-for-token (greedy)."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    from qlora_tpu.generate.paged import PagedBatcher
+    from qlora_tpu.generate.sampler import SamplingParams
+    from qlora_tpu.parallel.tp_decode import make_tp_mesh
+
+    cfg = CFG
+    params = init_params(jax.random.PRNGKey(0), cfg, quantized=True)
+    mesh = make_tp_mesh(2)
+
+    def run(spec):
+        b = PagedBatcher(
+            params, None, cfg, num_slots=3, n_pages=64, page_size=8,
+            max_pages_per_seq=8, prefill_buckets=(16,), eos_id=-1,
+            sparams=SamplingParams(temperature=0.0), tp_mesh=mesh,
+            spec_draft_len=spec,
+        )
+        free0 = b.pool.n_free
+        reqs = [b.submit(list(range(4 + i, 10 + i)), max_new_tokens=6)
+                for i in range(4)]
+        b.run_to_completion()
+        assert b.pool.n_free == free0
+        return [r.generated for r in reqs]
+
+    plain = run(0)
+    spec = run(3)
+    assert all(len(g) == 6 for g in spec)
+    assert plain == spec, (plain, spec)
