@@ -106,10 +106,12 @@ def _ring_flash(q, k, v, axis_name, sm_scale, causal, n, my):
     full = jnp.full((B,), Sk, jnp.int32)
     # interior (non-causal) chunks dominate the ring (n-1 of n rotations)
     # and keep every kv tile live — bk=2048 amortizes the VPU softmax over
-    # a bigger MXU s-dot: 0.604 -> 0.708 MFU on the sp=4 local shape
-    # (r5 on-chip sweep; the causal S=2048 default stays 1024/1024, where
-    # tile-skip makes bigger bk a wash)
+    # a bigger MXU s-dot: 0.604 -> 0.708 MFU on the sp=4 local shape (r5
+    # on-chip sweep).  The DIAGONAL chunk is causal and keeps 1024/1024:
+    # bk=2048 makes tile-skip too coarse there (measured 2.64 -> 3.06 ms
+    # at S=4096 causal — a pinned negative).
     bq, bk = 1024, 2048
+    bq_c, bk_c = 1024, 1024
 
     for i in range(n):                       # n is the static ring size
         src = (my - i) % n
@@ -121,7 +123,7 @@ def _ring_flash(q, k, v, axis_name, sm_scale, causal, n, my):
             o_i, lse_i = jax.lax.cond(
                 src == my,
                 lambda a: flash_attention_lse(a[0], a[1], a[2], a[3],
-                                              sm_scale, True, bq, bk),
+                                              sm_scale, True, bq_c, bk_c),
                 lambda a: flash_attention_lse(a[0], a[1], a[2], a[4],
                                               sm_scale, False, bq, bk),
                 (q, k_blk, v_blk, full, lens),
