@@ -22,18 +22,19 @@ from qlora_tpu.ops.qmatmul import _pick_tile, _scale_rows, _use_interpret
 
 
 @functools.partial(
-    jax.jit, static_argnames=("shape", "block_size", "quant_type", "reps", "tkp_max", "tn_max")
+    jax.jit, static_argnames=("shape", "block_size", "quant_type", "reps",
+                              "tkp_max", "tn_max", "tm_max")
 )
 def qmm_repeat(x, packed, am, shape, block_size, quant_type, reps=64,
-               tkp_max=512, tn_max=512):
+               tkp_max=512, tn_max=512, tm_max=1024):
     """y = x @ dequant(packed, am), computed `reps` times in one pallas call."""
     K, N = shape
     K2 = K // 2
     M = x.shape[0]
     code = CODEBOOKS[quant_type]
 
-    TKp = _pick_tile(K2, tuple(t for t in (2048, 1024, 512, 256, 128) if t <= tkp_max))
-    TM = _pick_tile(M, (1024, 512, 256, 128, 64, 32, 16))
+    TKp = _pick_tile(K2, tuple(t for t in (4096, 2048, 1024, 512, 256, 128) if t <= tkp_max))
+    TM = _pick_tile(M, tuple(t for t in (1024, 512, 256, 128, 64, 32, 16) if t <= tm_max))
     TN = min(tn_max, 128) if TM <= 64 else _pick_tile(N, tuple(t for t in (512, 256, 128) if t <= tn_max))
     TN = _pick_tile(N, (tn_max,)) if TM <= 64 and tn_max > 128 else TN
     n_slices = TN // 128
