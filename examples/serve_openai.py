@@ -235,21 +235,23 @@ def make_handler(engine: ServingEngine):
                 self.wfile.write(b"%x\r\n%s\r\n" % (len(data), data))
                 self.wfile.flush()
 
-            # decode incrementally: flush whole-token text deltas
+            # decode incrementally: flush text deltas (local state — the
+            # handler instance persists across keep-alive requests)
             emitted = []
+            sent = ""
             while True:
                 t = out_q.get()
                 if t is None:
                     break
                 emitted.append(t)
                 text = tok.decode(emitted)
-                # byte-safe: only flush when the decode grew cleanly
+                if len(text) <= len(sent):
+                    continue   # partial multi-byte sequence; wait for more
                 sse({"id": cid, "object": "text_completion",
                      "created": created, "model": engine.model_id,
-                     "choices": [{"index": 0, "text": text[len(
-                         getattr(self, "_sent", "")):],
+                     "choices": [{"index": 0, "text": text[len(sent):],
                                   "finish_reason": None}]})
-                self._sent = text
+                sent = text
             sse({"id": cid, "object": "text_completion",
                  "created": created, "model": engine.model_id,
                  "choices": [{"index": 0, "text": "",
