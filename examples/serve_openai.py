@@ -11,6 +11,13 @@ API (OpenAI v1 subset, stdlib only — no fastapi/flask in this image):
   POST /v1/completions      {"prompt": str, "max_tokens": int,
                              "stream": bool}  → completion JSON, or SSE
                              chunks ending with `data: [DONE]`
+  POST /v1/chat/completions {"messages": [{"role", "content"}, ...],
+                             "max_tokens", "stream"} — messages flatten
+                             to the Guanaco `### Human:/### Assistant:`
+                             template (the reference's chat format,
+                             examples/guanaco_7B_demo_colab.ipynb);
+                             generation stops at EOS or a `### Human:`
+                             stop string (held back from the stream)
   GET  /v1/models           → the single served model
 
 Engine model: ONE background thread owns the PagedBatcher and loops
@@ -97,7 +104,8 @@ class ServingEngine:
             spec_draft_len=args.speculative,
             **engine_kw,
         )
-        self._pending = queue.Queue()   # (prompt_ids, max_tokens, out_q)
+        self._pending = queue.Queue()   # (prompt_ids, max_tokens, out_q, h)
+        self._cancels = queue.Queue()   # handles to stop early
         self._tracked = {}              # req.uid -> (Request, out_q)
         self._wake = threading.Event()
         self._stop = False
@@ -105,11 +113,18 @@ class ServingEngine:
         self.thread.start()
 
     def submit(self, prompt_ids, max_tokens):
-        """Thread-safe: returns a queue yielding token ids, then None."""
+        """Thread-safe: returns (handle, queue yielding token ids then None)."""
         out_q = queue.Queue()
-        self._pending.put((prompt_ids, max_tokens, out_q))
+        handle = {}
+        self._pending.put((prompt_ids, max_tokens, out_q, handle))
         self._wake.set()
-        return out_q
+        return handle, out_q
+
+    def cancel(self, handle):
+        """Thread-safe early stop (e.g. a stop string matched): the engine
+        thread marks the request done; its slot retires next step."""
+        self._cancels.put(handle)
+        self._wake.set()
 
     def shutdown(self):
         self._stop = True
@@ -125,13 +140,21 @@ class ServingEngine:
                 # drain submissions into the batcher (engine thread only)
                 while True:
                     try:
-                        ids, n, out_q = self._pending.get_nowait()
+                        ids, n, out_q, handle = self._pending.get_nowait()
                     except queue.Empty:
                         break
                     req = pb.submit(
                         ids, max_new_tokens=n,
                         on_token=lambda uid, tok, q=out_q: q.put(tok))
+                    handle["req"] = req
                     self._tracked[req.uid] = (req, out_q)
+                while True:
+                    try:
+                        h = self._cancels.get_nowait()
+                    except queue.Empty:
+                        break
+                    if "req" in h:
+                        h["req"].done = True   # retires next step
                 if not (pb.queue or pb.num_active):
                     self._wake.clear()
                     self._wake.wait(timeout=0.2)
@@ -177,7 +200,8 @@ def make_handler(engine: ServingEngine):
                 self._json(404, {"error": {"message": "not found"}})
 
         def do_POST(self):
-            if self.path != "/v1/completions":
+            chat = self.path == "/v1/chat/completions"
+            if self.path != "/v1/completions" and not chat:
                 self._json(404, {"error": {"message": "not found"}})
                 return
             try:
@@ -186,9 +210,25 @@ def make_handler(engine: ServingEngine):
             except Exception:  # noqa: BLE001
                 self._json(400, {"error": {"message": "bad JSON"}})
                 return
-            prompt = body.get("prompt", "")
-            if isinstance(prompt, list):
-                prompt = prompt[0] if prompt else ""
+            stop = None
+            if chat:
+                # Guanaco template (the reference's chat format); the
+                # `### Human:` stop string ends the assistant turn
+                parts = []
+                for m in body.get("messages", []):
+                    role, content = m.get("role"), m.get("content", "")
+                    if role == "system":
+                        parts.append(content + "\n")
+                    elif role == "assistant":
+                        parts.append(f"### Assistant: {content}\n")
+                    else:
+                        parts.append(f"### Human: {content}\n")
+                prompt = "".join(parts) + "### Assistant:"
+                stop = "### Human:"
+            else:
+                prompt = body.get("prompt", "")
+                if isinstance(prompt, list):
+                    prompt = prompt[0] if prompt else ""
             max_tokens = min(int(body.get("max_tokens", 64)), 2048)
             # engine-level sampling: reject mismatched per-request params
             # rather than silently ignoring them
@@ -202,26 +242,54 @@ def make_handler(engine: ServingEngine):
                     return
             stream = bool(body.get("stream", False))
             ids = tok.encode(prompt)
-            out_q = engine.submit(list(ids), max_tokens)
-            cid = completion_id()
+            handle, out_q = engine.submit(list(ids), max_tokens)
+            cid = ("chatcmpl-" if chat else "cmpl-") + uuid.uuid4().hex[:24]
             created = int(time.time())
+            obj = "chat.completion" if chat else "text_completion"
+
+            def payload(delta, fin):
+                if chat:
+                    if stream:
+                        c = {"index": 0, "delta":
+                             ({"content": delta} if delta else {}),
+                             "finish_reason": fin}
+                    else:
+                        c = {"index": 0, "message":
+                             {"role": "assistant", "content": delta},
+                             "finish_reason": fin}
+                else:
+                    c = {"index": 0, "text": delta, "finish_reason": fin}
+                o = obj + (".chunk" if (chat and stream) else "")
+                return {"id": cid, "object": o, "created": created,
+                        "model": engine.model_id, "choices": [c]}
 
             if not stream:
                 toks = []
+                stopped = False
+                text = ""
                 while True:
                     t = out_q.get()
                     if t is None:
                         break
                     toks.append(t)
-                text = tok.decode(toks)
-                self._json(200, {
-                    "id": cid, "object": "text_completion",
-                    "created": created, "model": engine.model_id,
-                    "choices": [{"index": 0, "text": text,
-                                 "finish_reason": "stop"}],
-                    "usage": {"prompt_tokens": len(ids),
-                              "completion_tokens": len(toks),
-                              "total_tokens": len(ids) + len(toks)}})
+                    if stop:
+                        text = tok.decode(toks)
+                        hit = text.find(stop)
+                        if hit >= 0:
+                            text = text[:hit]
+                            stopped = True
+                            engine.cancel(handle)
+                            # drain to end-of-stream
+                            while out_q.get() is not None:
+                                pass
+                            break
+                if not stopped:
+                    text = tok.decode(toks)
+                out = payload(text.rstrip() if chat else text, "stop")
+                out["usage"] = {"prompt_tokens": len(ids),
+                                "completion_tokens": len(toks),
+                                "total_tokens": len(ids) + len(toks)}
+                self._json(200, out)
                 return
 
             self.send_response(200)
@@ -230,13 +298,15 @@ def make_handler(engine: ServingEngine):
             self.send_header("Transfer-Encoding", "chunked")
             self.end_headers()
 
-            def sse(obj):
-                data = b"data: " + json.dumps(obj).encode() + b"\n\n"
+            def sse(obj_):
+                data = b"data: " + json.dumps(obj_).encode() + b"\n\n"
                 self.wfile.write(b"%x\r\n%s\r\n" % (len(data), data))
                 self.wfile.flush()
 
             # decode incrementally: flush text deltas (local state — the
-            # handler instance persists across keep-alive requests)
+            # handler instance persists across keep-alive requests).  With
+            # a stop string, hold back any tail that could be its prefix
+            # so clients never see a partial "### Human:".
             emitted = []
             sent = ""
             while True:
@@ -245,17 +315,29 @@ def make_handler(engine: ServingEngine):
                     break
                 emitted.append(t)
                 text = tok.decode(emitted)
+                if stop:
+                    hit = text.find(stop)
+                    if hit >= 0:
+                        final = text[:hit]
+                        if len(final) > len(sent):
+                            sse(payload(final[len(sent):], None))
+                            sent = final
+                        engine.cancel(handle)
+                        while out_q.get() is not None:
+                            pass
+                        break
+                    safe = len(text)
+                    for j in range(max(len(text) - len(stop) + 1, 0),
+                                   len(text)):
+                        if stop.startswith(text[j:]):
+                            safe = j
+                            break
+                    text = text[:safe]
                 if len(text) <= len(sent):
                     continue   # partial multi-byte sequence; wait for more
-                sse({"id": cid, "object": "text_completion",
-                     "created": created, "model": engine.model_id,
-                     "choices": [{"index": 0, "text": text[len(sent):],
-                                  "finish_reason": None}]})
+                sse(payload(text[len(sent):], None))
                 sent = text
-            sse({"id": cid, "object": "text_completion",
-                 "created": created, "model": engine.model_id,
-                 "choices": [{"index": 0, "text": "",
-                              "finish_reason": "stop"}]})
+            sse(payload("", "stop"))
             data = b"data: [DONE]\n\n"
             self.wfile.write(b"%x\r\n%s\r\n" % (len(data), data))
             self.wfile.write(b"0\r\n\r\n")

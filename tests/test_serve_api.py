@@ -35,9 +35,9 @@ def server():
     engine.shutdown()
 
 
-def _post(url, payload, timeout=300):
+def _post(url, payload, timeout=300, path="/v1/completions"):
     req = urllib.request.Request(
-        url + "/v1/completions", data=json.dumps(payload).encode(),
+        url + path, data=json.dumps(payload).encode(),
         headers={"Content-Type": "application/json"})
     return urllib.request.urlopen(req, timeout=timeout)
 
@@ -88,3 +88,31 @@ def test_mismatched_sampling_params_rejected(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(server, {"prompt": "x", "max_tokens": 2, "temperature": 0.7})
     assert e.value.code == 400
+
+
+def test_chat_completion_non_streaming(server):
+    r = _post(server, {"messages": [
+        {"role": "system", "content": "Be terse."},
+        {"role": "user", "content": "hi"}], "max_tokens": 6},
+        path="/v1/chat/completions")
+    d = json.loads(r.read())
+    assert d["object"] == "chat.completion"
+    m = d["choices"][0]["message"]
+    assert m["role"] == "assistant"
+    assert "### Human:" not in m["content"]
+    assert d["choices"][0]["finish_reason"] == "stop"
+
+
+def test_chat_completion_streaming(server):
+    r = _post(server, {"messages": [{"role": "user", "content": "hello"}],
+                       "max_tokens": 6, "stream": True},
+              path="/v1/chat/completions")
+    body = r.read().decode()
+    events = [ln[6:] for ln in body.splitlines() if ln.startswith("data: ")]
+    assert events[-1] == "[DONE]"
+    chunks = [json.loads(e) for e in events[:-1]]
+    assert all(c["object"] == "chat.completion.chunk" for c in chunks)
+    text = "".join(c["choices"][0]["delta"].get("content", "")
+                   for c in chunks)
+    assert "### Human:" not in text
+    assert chunks[-1]["choices"][0]["finish_reason"] == "stop"
