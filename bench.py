@@ -929,6 +929,28 @@ def _serving_metrics():
                         speedup / max(ds["tok_per_chunk"], 1e-9), 3),
                 },
             ]
+            if _remaining() > 300:
+                # adaptive guard: spec_adaptive on the PRIMARY zero-reuse
+                # trace (the worst case for prompt-lookup: fixed spec=3
+                # measured 0.87x plain there).  The gate must hold the
+                # engine at ~plain throughput — speculation becomes safe
+                # to leave on for unknown traffic.  Ceiling is 1.0
+                # (adaptive can at best match plain on hostile traffic).
+                da = run_cfg(tp_cfg + ",spec=3,adaptive=1")
+                guard = round(da["tok_s"] / max(d["tok_s"], 1e-9), 3)
+                out.append({
+                    "metric": "paged_batcher_spec_adaptive_guard",
+                    "value": guard,
+                    "unit": "adaptive-spec tok/s / plain tok/s on the "
+                            "zero-reuse trace (fixed spec=3 loses ~13% "
+                            "there; plain "
+                            f"{d['tok_s']}, adaptive {da['tok_s']}, "
+                            f"{da['spec_plain_dispatches']} demoted "
+                            "dispatches)",
+                    "vs_baseline": guard,
+                })
+            else:
+                _log("skipping adaptive-guard trace: insufficient budget")
         except Exception as e:  # noqa: BLE001
             _log(f"spec serving trace failed: {str(e)[:160]}")
             out.append({"metric": "paged_batcher_spec_error", "value": 0,

@@ -79,7 +79,7 @@ def _make_prompt(rng, plen, vocab, reuse):
 
 def run_config(params, cfg, *, slots, n_req, admit_batch, spd, n_pages,
                plen=384, new=128, page_size=64, bucket=512, small=False,
-               emit_json=False, spec=0, reuse=0):
+               emit_json=False, spec=0, reuse=0, adaptive=0):
     from qlora_tpu.generate.paged import PagedBatcher
 
     pb = PagedBatcher(
@@ -89,7 +89,7 @@ def run_config(params, cfg, *, slots, n_req, admit_batch, spd, n_pages,
         eos_id=-1, decode_impl="int8" if not small else None,
         prefill_impl="w8a8" if not small else None,
         steps_per_dispatch=spd, admit_batch=admit_batch,
-        spec_draft_len=spec,
+        spec_draft_len=spec, spec_adaptive=bool(adaptive),
     )
     rng = np.random.default_rng(0)
     t_first, t_submit = {}, {}
@@ -101,10 +101,14 @@ def run_config(params, cfg, *, slots, n_req, admit_batch, spd, n_pages,
         return cb
 
     # warmup wave pays the compiles (incl. the admit_batch group program:
-    # submit admit_batch+1 requests so both group shapes compile)
+    # submit admit_batch+1 requests so both group shapes compile).  With
+    # adaptive speculation the engine's FIRST dispatch is the plain-path
+    # probe, so the warmup budget must span >= 2 decode dispatches or the
+    # spec program's compile/cache-load lands mid-measurement.
+    warm_new = 2 if not (spec and adaptive) else spd + 2
     for _ in range(max(admit_batch + 1, 2)):
         pb.submit(_make_prompt(rng, plen, cfg.vocab_size, reuse),
-                  max_new_tokens=2)
+                  max_new_tokens=warm_new)
     pb.run_to_completion()
 
     t0 = time.perf_counter()
@@ -120,9 +124,14 @@ def run_config(params, cfg, *, slots, n_req, admit_batch, spd, n_pages,
     ttfts = sorted(t_first[i] - t_submit[i] for i in t_first)
     med = ttfts[len(ttfts) // 2] if ttfts else 0.0
     assert len(done) == n_req
+    adapt = ""
+    if spec and adaptive:
+        adapt = (f" adaptive(plain_dispatches={pb.spec_plain_dispatches},"
+                 f" chunks={pb.spec_chunks})")
     print(f"slots={slots} n_req={n_req} ab={admit_batch} spd={spd} "
-          f"pages={n_pages} spec={spec}:  {total / wall:7.1f} tok/s   "
-          f"median TTFT {med * 1e3:7.1f} ms   wall {wall:.2f} s",
+          f"pages={n_pages} spec={spec} reuse={reuse}:  "
+          f"{total / wall:7.1f} tok/s   "
+          f"median TTFT {med * 1e3:7.1f} ms   wall {wall:.2f} s{adapt}",
           flush=True)
     if emit_json:
         import json
@@ -139,6 +148,9 @@ def run_config(params, cfg, *, slots, n_req, admit_batch, spd, n_pages,
         print(json.dumps({
             "slots": slots, "tok_s": round(total / wall, 1),
             "ttft_ms": round(med * 1e3, 1), "spec": spec,
+            "reuse": reuse, "adaptive": adaptive,
+            "spec_plain_dispatches": (pb.spec_plain_dispatches
+                                      if spec and adaptive else 0),
             "tok_per_chunk": round(tpc, 2),
             "tok_s_ceiling": round(tok_ceil, 1),
             "ttft_ideal_ms": round(ttft_ideal * 1e3, 1),

@@ -102,6 +102,9 @@ class ServingEngine:
             steps_per_dispatch=args.steps_per_dispatch,
             admit_batch=args.admit_batch,
             spec_draft_len=args.speculative,
+            # production default: speculation self-disables on traffic
+            # where drafts stop paying (rolling tokens/chunk gate)
+            spec_adaptive=not getattr(args, "no_spec_adaptive", False),
             **engine_kw,
         )
         self._pending = queue.Queue()   # (prompt_ids, max_tokens, out_q, h)
@@ -360,6 +363,8 @@ def main(argv=None):
     ap.add_argument("--top_p", type=float, default=1.0)
     ap.add_argument("--decode_impl", default=None, choices=(None, "int8"))
     ap.add_argument("--speculative", type=int, default=0)
+    ap.add_argument("--no_spec_adaptive", action="store_true",
+                    help="always speculate (skip the acceptance gate)")
     ap.add_argument("--steps_per_dispatch", type=int, default=16)
     ap.add_argument("--admit_batch", type=int, default=4)
     args = ap.parse_args(argv)

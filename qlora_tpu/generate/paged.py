@@ -165,6 +165,7 @@ class PagedBatcher:
                  rolling_eviction=True, tp_mesh=None,
                  steps_per_dispatch=1, admit_batch=1,
                  spec_draft_len=0, spec_ngram=2,
+                 spec_adaptive=False, spec_break_even=1.35,
                  admission="optimistic"):
         # num_slots defaults to 128: the decode matmul's M dim equals the
         # slot count, and the fused NF4 kernel's MXU cost at M=16 equals
@@ -249,6 +250,38 @@ class PagedBatcher:
             # (spec_tokens / spec_chunks = mean tokens retired per chunk)
             self.spec_tokens = 0
             self.spec_chunks = 0
+            # spec_adaptive: speculation safe-by-default.  A verify chunk
+            # costs ~1.15-1.3x a plain decode step (the Cx attention/
+            # logits VPU work, benchmarks/spec_chunk_cost.py; the ratio is
+            # worst at LOW occupancy — measured 1.27x at 16 active slots,
+            # 1.15x at 32), so speculation LOSES whenever acceptance drops
+            # below that ratio (i.i.d. prompts with no reuse: ~1.1-1.2
+            # tok/chunk -> 13% slower than plain at 32 slots).  Adaptive
+            # mode watches a window of recent tokens-per-chunk; below
+            # spec_break_even (default 1.35: the worst-case cost ratio
+            # plus margin; reuse-heavy traffic runs ~2 tok/chunk, far
+            # clear of it) the engine falls back to the plain decode path
+            # for a holdoff, then re-probes (contexts can become
+            # reuse-friendly as generation proceeds).
+            # Greedy output is invariant either way — both paths emit the
+            # model's own argmax — so adaptivity changes only throughput.
+            # The decision window accumulates per-slot CHUNKS (not
+            # dispatches): at serving scale (32 slots x spd 16 = 512
+            # chunks/dispatch) one dispatch decides; small engines
+            # accumulate across a few.  A dispatch is atomic, so that is
+            # also the minimum demotion latency.
+            self.spec_adaptive = bool(spec_adaptive)
+            self.spec_break_even = float(spec_break_even)
+            self._spec_window_chunks = 64   # chunk samples per decision
+            self._spec_holdoff = 8          # plain dispatches per demotion
+            self._spec_tok_acc = 0
+            self._spec_chunk_acc = 0
+            # probe order: PLAIN first — the plain decode program compiles
+            # during engine warmup traffic instead of mid-measurement the
+            # first time acceptance collapses (greedy output is unchanged)
+            self._spec_skip = 1 if self.spec_adaptive else 0
+            # telemetry: dispatches where speculation was adaptively off
+            self.spec_plain_dispatches = 0
         self.tp_mesh = tp_mesh
         self._tp_prefill_fn = self._tp_decode_fn = None
         if tp_mesh is not None:
@@ -511,6 +544,35 @@ class PagedBatcher:
                 drafts[s, : len(d)] = d
         return drafts
 
+    def _spec_gate(self):
+        """Adaptive speculation admission for this dispatch.  Fixed mode
+        always speculates; adaptive mode sits out ``_spec_holdoff``
+        dispatches after the rolling tokens-per-chunk falls below
+        ``spec_break_even``, then re-probes."""
+        if not self.spec_adaptive:
+            return True
+        if self._spec_skip > 0:
+            self._spec_skip -= 1
+            self.spec_plain_dispatches += 1
+            return False
+        return True
+
+    def _spec_account(self, disp_tokens, disp_chunks):
+        """Record one speculative dispatch's acceptance and demote to the
+        plain path when the accumulated window says chunks are not
+        paying (tokens/chunk below break-even)."""
+        self.spec_tokens += disp_tokens
+        self.spec_chunks += disp_chunks
+        if not self.spec_adaptive or not disp_chunks:
+            return
+        self._spec_tok_acc += disp_tokens
+        self._spec_chunk_acc += disp_chunks
+        if self._spec_chunk_acc < self._spec_window_chunks:
+            return
+        if self._spec_tok_acc / self._spec_chunk_acc < self.spec_break_even:
+            self._spec_skip = self._spec_holdoff
+        self._spec_tok_acc = self._spec_chunk_acc = 0
+
     def _spec_step(self):
         """One speculative dispatch; returns finished requests, or None when
         a slot lacks room for a full burst (caller falls back to the plain
@@ -577,12 +639,13 @@ class PagedBatcher:
             tot = np.asarray(tot)
         self.pool.update_from(cache)
         finished = []
+        disp_tokens = disp_chunks = 0
         for slot, req in enumerate(self.slot_req):
             if req is None:
                 continue
             t_n = int(tot[slot])
-            self.spec_tokens += t_n
-            self.spec_chunks += N
+            disp_tokens += t_n
+            disp_chunks += N
             for i in range(t_n):
                 if not req.done:
                     self._emit(req, int(out[slot, i]))
@@ -597,6 +660,7 @@ class PagedBatcher:
                 req.done = True
                 finished.append(req)
                 self._release_slot(slot)
+        self._spec_account(disp_tokens, disp_chunks)
         return finished
 
     def _make_prefill_jit(self):
@@ -926,7 +990,7 @@ class PagedBatcher:
     def _decode_step(self):
         from qlora_tpu.generate.sampler import sample_token
 
-        if self.spec_draft_len > 0:
+        if self.spec_draft_len > 0 and self._spec_gate():
             r = self._spec_step()
             if r is not None:
                 return r

@@ -314,14 +314,16 @@ def test_batched_admission_matches_single():
 
 
 def _spec_run(params, cfg, *, spec, spd=1, traffic=None, eos=-1,
-              max_pages_per_seq=8, decode_impl=None, sparams=None, seed=0):
+              max_pages_per_seq=8, decode_impl=None, sparams=None, seed=0,
+              return_engine=False, **kw):
     from qlora_tpu.generate.paged import PagedBatcher
 
     pb = PagedBatcher(params, None, cfg, num_slots=3, n_pages=64,
                       page_size=8, max_pages_per_seq=max_pages_per_seq,
                       prefill_buckets=(16,), eos_id=eos,
                       steps_per_dispatch=spd, spec_draft_len=spec,
-                      decode_impl=decode_impl, sparams=sparams, seed=seed)
+                      decode_impl=decode_impl, sparams=sparams, seed=seed,
+                      **kw)
     reqs = []
     queue = list(traffic)
     while queue or pb.queue or pb.num_active:
@@ -332,6 +334,8 @@ def _spec_run(params, cfg, *, spec, spd=1, traffic=None, eos=-1,
         pb.step()
     assert pb.pool.n_free == 63
     assert not pb.pool.tables
+    if return_engine:
+        return [r.generated for r in reqs], pb
     return [r.generated for r in reqs]
 
 
@@ -392,6 +396,42 @@ def test_speculative_rejection_sampled_completes():
                      sparams=sp, seed=123)
     for gen, (_, n) in zip(outs, traffic):
         assert 0 < len(gen) <= n
+
+
+def test_adaptive_speculation_demotes_and_keeps_greedy_parity():
+    """spec_adaptive: when the rolling tokens-per-chunk sits below
+    spec_break_even the engine must demote to the plain decode path
+    (holdoff), RE-PROBE after it expires, and still emit exactly the
+    plain greedy stream — adaptivity changes scheduling, never output.
+    break_even=100 forces demotion as soon as the window fills."""
+    cfg = get_config("debug")
+    params = init_params(jax.random.PRNGKey(0), cfg, quantized=True)
+    traffic = _spec_traffic(n=8, seed=17, nmax=40)
+    plain = _spec_run(params, cfg, spec=0, traffic=traffic)
+    adapt, pb = _spec_run(params, cfg, spec=3, traffic=traffic,
+                          spec_adaptive=True, spec_break_even=100.0,
+                          return_engine=True)
+    assert plain == adapt, (plain, adapt)
+    # demotion happened: at least one full holdoff (plus the plain-first
+    # probe dispatch) ran on the plain path
+    assert pb.spec_plain_dispatches >= pb._spec_holdoff
+    # re-probe happened: speculation resumed past the first window
+    assert pb.spec_chunks > pb._spec_window_chunks
+
+
+def test_adaptive_speculation_stays_on_when_paying():
+    """break_even=0 never demotes: beyond the single plain-first probe
+    dispatch (compile-warming), the adaptive engine keeps speculating,
+    and greedy output matches the fixed speculative engine exactly."""
+    cfg = get_config("debug")
+    params = init_params(jax.random.PRNGKey(0), cfg, quantized=True)
+    traffic = _spec_traffic(n=6, seed=19)
+    fixed = _spec_run(params, cfg, spec=3, spd=2, traffic=traffic)
+    adapt, pb = _spec_run(params, cfg, spec=3, spd=2, traffic=traffic,
+                          spec_adaptive=True, spec_break_even=0.0,
+                          return_engine=True)
+    assert fixed == adapt, (fixed, adapt)
+    assert pb.spec_plain_dispatches <= 1         # the probe only
 
 
 def test_speculative_int8_impl_completes():
